@@ -1,0 +1,111 @@
+"""robots.txt parsing + evaluation — SURVEY.md §2.2 M10 / Appendix A.9.
+
+RFC 9309 semantics, pinned:
+
+  * groups are runs of ``User-agent:`` lines followed by rules;
+  * group selection: if any group names our agent (``spider-ray``,
+    case-insensitive exact product token), only those groups apply;
+    otherwise the ``*`` groups apply; otherwise allow-all;
+  * rule matching: longest-path-match wins among all Allow/Disallow
+    rules of the applicable groups; on equal length Allow wins;
+  * an empty ``Disallow:`` value matches nothing (allow-all marker);
+  * only the plain-prefix subset is supported (no ``*``/``$`` wildcards
+    — the fixtures contain none; documented v2 upgrade);
+  * a missing robots.txt (no row in the robots fixture) => allow-all
+    with the default crawl delay.
+
+``Crawl-delay`` lines are parsed when present but the authoritative
+per-host delay comes from the robots fixture's ``crawl_delay_s`` column
+(FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+AGENT_TOKEN = "spider-ray"
+
+
+@dataclass
+class RobotsRules:
+    """Evaluated rule set for one host (already agent-selected)."""
+
+    # list of (path_prefix, allow) — empty-valued Disallow rules are dropped
+    rules: list[tuple[str, bool]] = field(default_factory=list)
+    crawl_delay_s: float | None = None
+
+    def allowed(self, path_query: str) -> bool:
+        """Longest-prefix-match; ties -> allow; no match -> allow."""
+        best_len = -1
+        best_allow = True
+        for prefix, allow in self.rules:
+            if path_query.startswith(prefix):
+                plen = len(prefix)
+                if plen > best_len or (plen == best_len and allow):
+                    best_len = plen
+                    best_allow = allow
+        return best_allow
+
+
+ALLOW_ALL = RobotsRules()
+
+
+def parse_robots(body: bytes | str, agent: str = AGENT_TOKEN) -> RobotsRules:
+    """Parse a robots.txt body and select the group(s) for ``agent``."""
+    if isinstance(body, (bytes, bytearray, memoryview)):
+        body = bytes(body).decode("utf-8", errors="replace")
+    agent = agent.lower()
+
+    # group collection: (agent_tokens, rules, crawl_delay)
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
+    in_agent_run = False  # consecutive User-agent lines share one group
+
+    def flush() -> None:
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                flush()
+            cur_agents.append(value.lower())
+            in_agent_run = True
+        elif key in ("allow", "disallow"):
+            in_agent_run = False
+            if key == "disallow" and value == "":
+                continue  # empty Disallow matches nothing
+            if value:
+                cur_rules.append((value, key == "allow"))
+        elif key == "crawl-delay":
+            in_agent_run = False
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass
+        else:
+            in_agent_run = False
+    flush()
+
+    ours = [g for g in groups if agent in g[0]]
+    if not ours:
+        ours = [g for g in groups if "*" in g[0]]
+    if not ours:
+        return RobotsRules()
+    rules: list[tuple[str, bool]] = []
+    delay: float | None = None
+    for _, grules, gdelay in ours:
+        rules.extend(grules)
+        if gdelay is not None:
+            delay = gdelay
+    return RobotsRules(rules=rules, crawl_delay_s=delay)

@@ -1,0 +1,75 @@
+"""CLI: python -m spider_ray.crawl --fixture DIR --ckpt DIR [--rounds N]
+
+Owns the Ray session (the only place besides bench.py/tests that may
+call ray.init — library code never does, per the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        prog="python -m spider_ray.crawl",
+        description="run the Ray-Data crawl engine over a fixture directory",
+    )
+    ap.add_argument("--fixture", required=True, help="fixture dir (pages/seeds/robots/config)")
+    ap.add_argument("--ckpt", required=True, help="checkpoint dir (resumes if populated)")
+    ap.add_argument("--rounds", type=int, default=100)
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
+    ap.add_argument("--shards", type=int, default=None, help="seen-set shards")
+    ap.add_argument("--no-exact-seen", action="store_true",
+                    help="disable the exact-set sidecar (production mode)")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        from spider_ray.core.config import load_crawl_config
+        from spider_ray.crawl.driver import CrawlDriver
+
+        overrides = {}
+        if args.shards:
+            overrides["num_shards"] = args.shards
+        cfg = load_crawl_config(args.fixture, **overrides)
+        drv = CrawlDriver(
+            args.fixture, args.ckpt, cfg, exact_seen=not args.no_exact_seen
+        )
+        metrics = drv.run(max_rounds=args.rounds)
+        total = {
+            k: sum(m[k] for m in metrics)
+            for k in (metrics[0] if metrics else {})
+            if k != "wall_s"
+        }
+        wall = sum(m.get("wall_s", 0.0) for m in metrics)
+        urls_per_s = round(total.get("candidates", 0) / wall, 1) if wall else 0.0
+        print(
+            json.dumps(
+                {
+                    "rounds": len(metrics),
+                    "wall_s": round(wall, 2),
+                    "frontier_urls_per_s": urls_per_s,
+                    **total,
+                },
+                indent=1,
+                sort_keys=True,
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,526 @@
+"""Crawl driver — the per-round control loop (SURVEY.md §3.2, §4.4).
+
+Ray Data Datasets are acyclic, so the BFS iteration lives here: each
+round builds a handful of FUSED lazy Dataset pipelines over the
+previous round's Parquet-checkpointed frontier (see stages.py for the
+fusion layout — roughly 14 executions per round), materializes only the
+bounded frontier working set (politeness-bounded, orders of magnitude
+smaller than the pages corpus), and writes the next checkpoint
+atomically (``round=NNNN.tmp`` -> rename).  The pages corpus itself is
+never shuffled per round: it is hash-bucketed by url once at crawl
+start and each round's fetch touches only the buckets its selected
+URLs fall in (stages.fetch_group).
+
+Never calls ray.init()/ray.shutdown() — the session is owned by the
+caller (tests / bench.py / CLI), per the driver contract in
+__ray_entry__.py.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import time
+from functools import partial
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from spider_ray.core.config import CrawlConfig, load_crawl_config, load_seed_urls
+from spider_ray.core.schemas import CRAWL_ORDER, DOMAINS, EXTRACTED, FRONTIER
+from spider_ray.crawl import stages
+from spider_ray.crawl.state import CuckooShard, DomainGate, gate_shard
+from spider_ray.oracle import METRIC_KEYS
+
+SCHEMA_VERSION = 1
+
+
+def _round_dir(ckpt: str, k: int) -> str:
+    return os.path.join(ckpt, f"round={k:04d}")
+
+
+def _write_ds(ds, dirpath: str, schema: pa.Schema) -> int:
+    """write_parquet that tolerates empty datasets (a readable empty
+    file keeps read_parquet on the directory working)."""
+    os.makedirs(dirpath, exist_ok=True)
+    if ds is not None:
+        ds = ds.materialize()
+    n = ds.count() if ds is not None else 0
+    if n == 0:
+        pq.write_table(schema.empty_table(), os.path.join(dirpath, "part-empty.parquet"))
+    else:
+        ds.write_parquet(dirpath)
+    return n
+
+
+def _col_sums(ds, cols: list[str]) -> dict:
+    from ray.data.aggregate import Sum
+
+    row = ds.aggregate(*[Sum(c, alias_name=c) for c in cols])
+    return {c: int(row[c] or 0) for c in cols}
+
+
+def _filter_eq(ds, col: str, value, drop: list[str] | None = None):
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column(col), value))
+        return t.drop_columns(drop) if drop else t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _normalize_frontier(ds, deferred: bool | None = None):
+    def f(t: pa.Table) -> pa.Table:
+        t = t.select(FRONTIER.names)
+        if deferred is not None:
+            t = t.set_column(
+                t.schema.get_field_index("deferred"),
+                "deferred",
+                pa.array([deferred] * len(t), pa.bool_()),
+            )
+        return t.cast(FRONTIER)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class CrawlDriver:
+    """Runs the flagship crawl over a fixture directory."""
+
+    def __init__(
+        self,
+        fixture_dir: str,
+        ckpt_dir: str,
+        cfg: CrawlConfig | None = None,
+        *,
+        fetch_buckets: int = 32,
+        dedup_parts: int = 16,
+        sel_slices: int = 8,
+        exact_seen: bool = True,
+        extract_batch_size: int = 256,
+    ) -> None:
+        self.fixture_dir = fixture_dir
+        self.ckpt_dir = ckpt_dir
+        self.cfg = cfg or load_crawl_config(fixture_dir)
+        self.fetch_buckets = fetch_buckets
+        self.dedup_parts = dedup_parts
+        self.sel_slices = sel_slices
+        self.exact_seen = exact_seen
+        self.extract_batch_size = extract_batch_size
+        self.metrics: list[dict] = []
+
+        ctx = ray.data.DataContext.get_current()
+        ctx.enable_progress_bars = False
+        logging.getLogger("ray.data").setLevel(logging.WARNING)
+
+        self.cfg_ref = ray.put(self.cfg)
+        self.shards = [
+            CuckooShard.remote(i, self.cfg.seen_capacity_per_shard, exact_seen)
+            for i in range(self.cfg.num_shards)
+        ]
+        self.gates = [
+            DomainGate.remote(i, self.cfg) for i in range(self.cfg.gate_pool_size)
+        ]
+        self.pages_dir = os.path.join(ckpt_dir, "pages_bucketed")
+        self.start_round = 1
+
+    # -- one-time preparation -------------------------------------------
+    def prepare_pages(self) -> None:
+        """Hash-bucket the pages corpus by url once (amortized across
+        every round's fetch; at 100 TB this is the single full pass)."""
+        if os.path.isdir(self.pages_dir) and os.listdir(self.pages_dir):
+            return
+        tmp = self.pages_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        pages = ray.data.read_parquet(
+            os.path.join(self.fixture_dir, "pages.parquet"),
+            columns=["url", "html", "lang"],
+        )
+        nb = self.fetch_buckets
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from spider_ray.core.hashing import hash_url_batch
+
+            h64, _ = hash_url_batch(t.column("url").to_pylist())
+            return t.append_column(
+                "bucket", pa.array((h64 % np.uint64(nb)).astype(np.int32))
+            )
+
+        pages.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["bucket"]
+        )
+        os.rename(tmp, self.pages_dir)
+
+    def init_round0(self) -> None:
+        seeds = load_seed_urls(self.fixture_dir)
+        table = stages.seed_frontier_table(seeds)
+        tmp = _round_dir(self.ckpt_dir, 0) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "frontier"))
+        pq.write_table(table, os.path.join(tmp, "frontier", "part-0.parquet"))
+        self._snapshot_state(tmp, 0)
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "schema_version": SCHEMA_VERSION,
+                    "round": 0,
+                    "config_hash": self.cfg.config_hash(),
+                    "metrics": {},
+                    "frontier_rows": table.num_rows,
+                },
+                f,
+            )
+        final = _round_dir(self.ckpt_dir, 0)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+
+    def latest_round(self) -> int | None:
+        if not os.path.isdir(self.ckpt_dir):
+            return None
+        best = None
+        for name in os.listdir(self.ckpt_dir):
+            if name.startswith("round=") and not name.endswith(".tmp"):
+                if os.path.exists(os.path.join(self.ckpt_dir, name, "manifest.json")):
+                    k = int(name.split("=")[1])
+                    best = k if best is None else max(best, k)
+        return best
+
+    def prepare(self) -> None:
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.prepare_pages()
+        last = self.latest_round()
+        if last is None:
+            self.init_round0()
+            self.start_round = 1
+            return
+        # resume: re-create actor state from the last complete checkpoint
+        rd = _round_dir(self.ckpt_dir, last)
+        with open(os.path.join(rd, "manifest.json")) as f:
+            man = json.load(f)
+        if man["config_hash"] != self.cfg.config_hash():
+            raise RuntimeError("resume with a different config is not allowed")
+        seen_dir = os.path.join(rd, "seen")
+        ray.get([s.load.remote(seen_dir) for s in self.shards])
+        dpath = os.path.join(rd, "domains.parquet")
+        if os.path.exists(dpath):
+            dt = pq.read_table(dpath)
+            by_gate: dict[int, tuple[list, list]] = {}
+            for dom, tot in zip(
+                dt.column("domain").to_pylist(), dt.column("fetched_total").to_pylist()
+            ):
+                g = gate_shard(dom, self.cfg.gate_pool_size)
+                by_gate.setdefault(g, ([], []))[0].append(dom)
+                by_gate[g][1].append(tot)
+            ray.get(
+                [
+                    self.gates[g].load_state.remote(doms, tots, last)
+                    for g, (doms, tots) in by_gate.items()
+                ]
+            )
+        self.start_round = last + 1
+
+    # -- state snapshot --------------------------------------------------
+    def _snapshot_state(self, round_tmp_dir: str, round_no: int) -> None:
+        seen_dir = os.path.join(round_tmp_dir, "seen")
+        os.makedirs(seen_dir, exist_ok=True)
+        ray.get([s.snapshot.remote(seen_dir) for s in self.shards])
+        states = ray.get([g.export_state.remote() for g in self.gates])
+        cols = {name: [] for name in DOMAINS.names}
+        for st in states:
+            for name in DOMAINS.names:
+                cols[name].extend(st[name])
+        pq.write_table(
+            pa.table(cols, schema=DOMAINS),
+            os.path.join(round_tmp_dir, "domains.parquet"),
+        )
+
+    def seen_stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    # -- one round -------------------------------------------------------
+    def run_round(self, k: int) -> bool:
+        t0 = time.monotonic()
+        cfg_ref = self.cfg_ref
+        cfg = self.cfg
+        m = {key: 0 for key in METRIC_KEYS}
+        tmp = _round_dir(self.ckpt_dir, k) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+
+        f_in = ray.data.read_parquet(
+            os.path.join(_round_dir(self.ckpt_dir, k - 1), "frontier")
+        )
+
+        # execution 1 — candidate pass: scope/depth flags -> dedupe ->
+        # seen RPC -> robots RPC, one shuffle (key url_hash64 % parts)
+        cands = (
+            f_in.map_batches(
+                partial(stages.flags_and_part_batch, cfg_ref=cfg_ref,
+                        n_parts=self.dedup_parts),
+                batch_format="pyarrow",
+            )
+            .groupby("dedup_part")
+            .map_groups(
+                partial(
+                    stages.candidate_group,
+                    shard_handles=self.shards,
+                    gate_handles=self.gates,
+                    num_shards=cfg.num_shards,
+                    pool_size=cfg.gate_pool_size,
+                ),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        m["candidates"] = cands.count()
+
+        # execution 2 — status histogram -> scope/dedupe/seen/robots metrics
+        sc = {
+            int(r["status"]): int(r["count()"])
+            for r in cands.groupby("status").count().take_all()
+        }
+        m["depth_dropped"] = sc.get(stages.ST_DEPTH, 0)
+        m["excluded"] = sc.get(stages.ST_EXCLUDED, 0)
+        m["dedup_batch"] = sc.get(stages.ST_DUP, 0)
+        m["dedup_seen"] = sc.get(stages.ST_SEEN, 0)
+        m["robots_denied"] = sc.get(stages.ST_ROBOTS, 0)
+        eligible_count = sc.get(stages.ST_OK, 0)
+
+        sel_full = None
+        ktake: dict[str, int] = {}
+        if eligible_count:
+            eligible = _filter_eq(cands, "status", 0, drop=["status"])
+            # execution 3 — selection phase A: fixed S-way slice ranking
+            ranked = (
+                eligible.map_batches(
+                    partial(stages.add_sel_slice, n_slices=self.sel_slices),
+                    batch_format="pyarrow",
+                )
+                .groupby("part_key")
+                .map_groups(
+                    partial(stages.local_select_rank, cfg_ref=cfg_ref),
+                    batch_format="pandas",
+                )
+                .materialize()
+            )
+            # execution 4 — selection phase B: per-domain merge of local
+            # winners -> slice->count dict (tiny), broadcast back
+            narrow = _filter_eq(ranked, "lsel", True).map_batches(
+                lambda t: t.select(["domain", "part_key", "depth", "seq", "url"]),
+                batch_format="pyarrow",
+            )
+            ktake_rows = (
+                narrow.groupby("domain")
+                .map_groups(
+                    partial(stages.merge_select_group, cfg_ref=cfg_ref),
+                    batch_format="pandas",
+                )
+                .take_all()
+            )
+            ktake = {r["part_key"]: int(r["k_take"]) for r in ktake_rows}
+            # execution 5 — finalize sel flag
+            sel_full = ranked.map_batches(
+                partial(stages.finalize_sel, ktake_ref=ray.put(ktake)),
+                batch_format="pyarrow",
+            ).materialize()
+        m["selected"] = sum(ktake.values())
+        m["budget_deferred"] = eligible_count - m["selected"]
+
+        children_new = None
+        deferred = None
+        if m["selected"]:
+            selected = _filter_eq(sel_full, "sel", True)
+            deferred = _normalize_frontier(
+                _filter_eq(sel_full, "sel", False), deferred=True
+            )
+
+            # execution 6 — commit barrier (inserts applied seq-sorted, §4.5)
+            selected.map_batches(
+                partial(
+                    stages.commit_batch,
+                    shard_handles=self.shards,
+                    num_shards=cfg.num_shards,
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            ray.get([s.commit_pending.remote() for s in self.shards])
+
+            # execution 7 — crawl-order output (O1 pinned total order)
+            order_ds = selected.map_batches(
+                partial(_order_project, round_no=k), batch_format="pyarrow"
+            ).sort(["depth", "domain", "seq", "url"])
+            _write_ds(order_ds, os.path.join(tmp, "order"), CRAWL_ORDER)
+
+            # execution 8 — fetch (bucketed join, shuffle of the SMALL
+            # side only) fused with extract (single html pass)
+            ex = (
+                selected.map_batches(
+                    partial(stages.add_fetch_bucket, n_buckets=self.fetch_buckets),
+                    batch_format="pyarrow",
+                )
+                .groupby("bucket")
+                .map_groups(
+                    partial(stages.fetch_group, pages_dir=self.pages_dir),
+                    batch_format="pandas",
+                )
+                .map_batches(
+                    partial(stages.extract_batch, cfg_ref=cfg_ref),
+                    batch_format="pyarrow",
+                    batch_size=self.extract_batch_size,
+                )
+                .materialize()
+            )
+
+            # execution 9 — one aggregate for fetch + link counters
+            sums = _col_sums(ex, ["found", "n_bytes", "links_raw"] + stages._COUNTER_KEYS)
+            m["fetched"] = sums["found"]
+            m["fetch_errors"] = m["selected"] - m["fetched"]
+            m["parsed"] = m["fetched"]
+            m["bytes_in"] = sums["n_bytes"]
+            m["links_raw"] = sums["links_raw"]
+            for key in stages._COUNTER_KEYS:
+                m[key] = sums[key]
+
+            # execution 10 — extracted-text output
+            extracted_ds = _filter_eq(ex, "found", 1).map_batches(
+                partial(_extracted_project, round_no=k), batch_format="pyarrow"
+            )
+            _write_ds(extracted_ds, os.path.join(tmp, "out"), EXTRACTED)
+
+            # execution 11 — children pass: explode -> dedupe -> seen check
+            ch = (
+                ex.map_batches(
+                    partial(
+                        stages.explode_children,
+                        cfg_ref=cfg_ref,
+                        round_no=k,
+                        n_parts=self.dedup_parts,
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby("dedup_part")
+                .map_groups(
+                    partial(
+                        stages.child_group,
+                        shard_handles=self.shards,
+                        num_shards=cfg.num_shards,
+                    ),
+                    batch_format="pandas",
+                )
+                .materialize()
+            )
+            m["links_out"] = ch.count()
+            # execution 12 — child status histogram
+            if m["links_out"]:
+                cc = {
+                    int(r["status"]): int(r["count()"])
+                    for r in ch.groupby("status").count().take_all()
+                }
+                m["links_depth_dropped"] = cc.get(stages.CH_DEPTH, 0)
+                m["links_dedup"] = cc.get(stages.CH_DUP, 0)
+                m["links_seen"] = cc.get(stages.CH_SEEN, 0)
+                children_new = _normalize_frontier(_filter_eq(ch, "status", 0))
+
+            # execution 13 — per-domain fetch totals -> domain gates (A4 rate)
+            by_dom = (
+                _filter_eq(ex, "found", 1).groupby("domain").count().take_all()
+            )
+            by_gate: dict[int, tuple[list, list]] = {}
+            for r in by_dom:
+                g = gate_shard(r["domain"], cfg.gate_pool_size)
+                by_gate.setdefault(g, ([], []))[0].append(r["domain"])
+                by_gate[g][1].append(int(r["count()"]))
+            ray.get(
+                [
+                    self.gates[g].note_fetched.remote(doms, cnts, k)
+                    for g, (doms, cnts) in by_gate.items()
+                ]
+            )
+        else:
+            _write_ds(None, os.path.join(tmp, "order"), CRAWL_ORDER)
+            _write_ds(None, os.path.join(tmp, "out"), EXTRACTED)
+
+        # execution 14 — next frontier = deferred ∪ unseen children (D1)
+        if deferred is not None and children_new is not None:
+            nxt = deferred.union(children_new)
+        else:
+            nxt = deferred if deferred is not None else children_new
+        m["enqueued"] = _write_ds(nxt, os.path.join(tmp, "frontier"), FRONTIER)
+
+        # round barrier: snapshot state, manifest, atomic rename (§4.4)
+        self._snapshot_state(tmp, k)
+        m["wall_s"] = round(time.monotonic() - t0, 3)
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "schema_version": SCHEMA_VERSION,
+                    "round": k,
+                    "config_hash": self.cfg.config_hash(),
+                    "metrics": m,
+                    "lineage": {
+                        "input": os.path.join(
+                            _round_dir(self.ckpt_dir, k - 1), "frontier"
+                        ),
+                        "outputs": sorted(os.listdir(tmp)),
+                    },
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        final_dir = _round_dir(self.ckpt_dir, k)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.rename(tmp, final_dir)
+        self.metrics.append(m)
+        return m["enqueued"] > 0
+
+    def run(self, max_rounds: int = 100) -> list[dict]:
+        self.prepare()
+        k = self.start_round
+        while k < self.start_round + max_rounds:
+            if not self.run_round(k):
+                break
+            k += 1
+        return self.metrics
+
+    def close(self) -> None:
+        """Kill the state actors.  Call when done with a driver whose
+        checkpoints you no longer need live (tests, bench loops); a
+        fresh driver on the same ckpt_dir resumes from disk."""
+        for a in self.shards + self.gates:
+            ray.kill(a)
+        self.shards = []
+        self.gates = []
+
+
+def _order_project(t: pa.Table, round_no: int) -> pa.Table:
+    n = len(t)
+    return pa.table(
+        {
+            "seq": t.column("seq"),
+            "round": pa.array([round_no] * n, pa.int32()),
+            "depth": t.column("depth"),
+            "domain": t.column("domain"),
+            "url": t.column("url"),
+        },
+        schema=CRAWL_ORDER,
+    )
+
+
+def _extracted_project(t: pa.Table, round_no: int) -> pa.Table:
+    n = len(t)
+    return pa.table(
+        {
+            "url": t.column("url"),
+            "text": t.column("text"),
+            "lang": t.column("lang"),
+            "round": pa.array([round_no] * n, pa.int32()),
+            "seq": t.column("seq"),
+        },
+        schema=EXTRACTED,
+    )

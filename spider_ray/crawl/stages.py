@@ -1,0 +1,425 @@
+"""Per-round stage kernels — SURVEY.md §3.2 steps 2–12.
+
+Every function here is a pure, deterministic transform over one Arrow
+batch / pandas group; mutable state lives only in the actors of
+``spider_ray.crawl.state``.  Stages that need the broadcast crawl
+config receive a ``ray.ObjectRef`` and ``ray.get`` it once per worker
+process (J3 broadcast — never a shuffle join).
+
+The round is organized into a small number of FUSED executions (a Ray
+Data execution has a fixed scheduling cost, so per-round latency is
+op-count x fixed-cost at small scale):
+
+  1. candidate pass: flags+partition map -> groupby(dedup_part) ->
+     candidate_group (dedupe + seen RPC + robots RPC -> status col);
+  2. selection: two-level budget select — every domain is split into S
+     fixed hash slices (the hot-domain salting of A.8, applied
+     unconditionally so no pre-count shuffle is needed), local top-B
+     rank per slice, then a tiny per-domain merge that only decides
+     HOW MANY winners each slice contributes (a dict of slice->count,
+     broadcast back) — placement-skew-proof and byte-deterministic;
+  3. fetch+extract: bucketed join against the pages corpus partition,
+     then the single-pass text+link extraction;
+  4. children pass: explode + depth flag -> groupby(dedup_part) ->
+     child_group (dedupe + seen check -> status col).
+
+Determinism: no stage reads the clock or depends on batch arrival
+order; all ordering (seq, rank) is computed from data (SURVEY.md §4.5).
+
+Status codes (candidates): 0 eligible, 1 depth-dropped, 2 excluded,
+3 intra-round dup, 4 already seen, 5 robots-denied.
+Status codes (children):   0 new, 1 depth-dropped, 2 dup, 3 seen.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray
+
+from spider_ray.core.config import CrawlConfig
+from spider_ray.core.extract import extract_text_and_links
+from spider_ray.core.hashing import hash_url_batch
+from spider_ray.core.links import kept_links
+from spider_ray.core.schemas import FRONTIER
+from spider_ray.core.scope import is_excluded, split_host_pq
+from spider_ray.core.seqs import LINK_BITS
+from spider_ray.crawl.state import gate_shard
+
+_cfg_cache: dict[bytes, CrawlConfig] = {}
+
+ST_OK, ST_DEPTH, ST_EXCLUDED, ST_DUP, ST_SEEN, ST_ROBOTS = 0, 1, 2, 3, 4, 5
+CH_OK, CH_DEPTH, CH_DUP, CH_SEEN = 0, 1, 2, 3
+
+
+def get_cfg(cfg_ref) -> CrawlConfig:
+    """ray.get the broadcast config once per worker process."""
+    key = cfg_ref.binary()
+    cfg = _cfg_cache.get(key)
+    if cfg is None:
+        cfg = ray.get(cfg_ref)
+        _cfg_cache.clear()  # one crawl config per worker at a time
+        _cfg_cache[key] = cfg
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# seed init
+# ---------------------------------------------------------------------------
+
+def seed_frontier_table(seed_urls: list[str]) -> pa.Table:
+    """Round-0 frontier from the seed list (A.5: seq = seed_index)."""
+    from spider_ray.oracle import seed_frontier
+
+    legs = seed_frontier(seed_urls)
+    return pa.table(
+        {
+            "url": pa.array([l.url for l in legs], pa.string()),
+            "url_hash64": pa.array([l.url_hash64 for l in legs], pa.uint64()),
+            "fp": pa.array([l.fp for l in legs], pa.uint32()),
+            "host": pa.array([l.host for l in legs], pa.string()),
+            "domain": pa.array([l.domain for l in legs], pa.string()),
+            "depth": pa.array([l.depth for l in legs], pa.int32()),
+            "parent_seq": pa.array([l.parent_seq for l in legs], pa.int64()),
+            "link_index": pa.array([l.link_index for l in legs], pa.int32()),
+            "seq": pa.array([l.seq for l in legs], pa.int64()),
+            "round_discovered": pa.array(
+                [l.round_discovered for l in legs], pa.int32()
+            ),
+            "deferred": pa.array([l.deferred for l in legs], pa.bool_()),
+        },
+        schema=FRONTIER,
+    )
+
+
+# ---------------------------------------------------------------------------
+# execution 1: candidate pass (M4/M5 scope + D2 dedupe + J2 seen + M10 robots)
+# ---------------------------------------------------------------------------
+
+def flags_and_part_batch(batch: pa.Table, cfg_ref, n_parts: int) -> pa.Table:
+    """Scope/depth reason + dedup hash partition, one pass."""
+    cfg = get_cfg(cfg_ref)
+    urls = batch.column("url").to_pylist()
+    domains = batch.column("domain").to_pylist()
+    depths = batch.column("depth").to_numpy(zero_copy_only=False)
+    reason = np.zeros(len(urls), dtype=np.int8)
+    allowed = cfg.allowed_domains
+    for i, (u, d) in enumerate(zip(urls, domains)):
+        if depths[i] > cfg.max_depth:
+            reason[i] = ST_DEPTH
+        elif d not in allowed:
+            reason[i] = ST_EXCLUDED
+        else:
+            _, pq = split_host_pq(u)
+            if is_excluded(pq, cfg.exclusion_patterns(d)):
+                reason[i] = ST_EXCLUDED
+    h = batch.column("url_hash64").to_numpy(zero_copy_only=False)
+    batch = batch.append_column("status", pa.array(reason, pa.int8()))
+    return batch.append_column(
+        "dedup_part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+    )
+
+
+def _rpc_seen(df: pd.DataFrame, shard_handles, num_shards: int) -> np.ndarray:
+    h64 = df["url_hash64"].to_numpy(dtype=np.uint64)
+    fp = df["fp"].to_numpy(dtype=np.uint32)
+    shard_ids = h64 % np.uint64(num_shards)
+    mask = np.empty(len(df), dtype=bool)
+    futures, indices = [], []
+    for s in np.unique(shard_ids):
+        idx = np.flatnonzero(shard_ids == s)
+        futures.append(shard_handles[int(s)].check_batch.remote(h64[idx], fp[idx]))
+        indices.append(idx)
+    for idx, res in zip(indices, ray.get(futures)):
+        mask[idx] = res
+    return mask
+
+
+def _rpc_robots(df: pd.DataFrame, gate_handles, pool_size: int) -> np.ndarray:
+    hosts = df["host"].tolist()
+    pqs = [split_host_pq(u)[1] for u in df["url"]]
+    gshards = np.fromiter(
+        (gate_shard(d, pool_size) for d in df["domain"]), np.int32, len(df)
+    )
+    mask = np.empty(len(df), dtype=bool)
+    futures, indices = [], []
+    for s in np.unique(gshards):
+        idx = np.flatnonzero(gshards == s)
+        futures.append(
+            gate_handles[int(s)].check_batch.remote(
+                [hosts[i] for i in idx], [pqs[i] for i in idx]
+            )
+        )
+        indices.append(idx)
+    for idx, res in zip(indices, ray.get(futures)):
+        mask[idx] = res
+    return mask
+
+
+def candidate_group(
+    group: pd.DataFrame, shard_handles, gate_handles, num_shards: int, pool_size: int
+) -> pd.DataFrame:
+    """One dedup partition: dedupe kept rows (min depth,seq per url),
+    then seen-check survivors, then robots-check unseen survivors —
+    mirroring oracle steps 3-5 exactly.  Emits every input row with its
+    final status code."""
+    group = group.reset_index(drop=True)
+    status = group["status"].to_numpy(dtype=np.int8).copy()
+    kept_idx = np.flatnonzero(status == ST_OK)
+    if len(kept_idx):
+        kept = group.iloc[kept_idx]
+        order = kept.sort_values(["url", "depth", "seq"], kind="mergesort")
+        dup_pos = order.index[order["url"].duplicated(keep="first").to_numpy()]
+        status[dup_pos] = ST_DUP
+    survivors_idx = np.flatnonzero(status == ST_OK)
+    if len(survivors_idx):
+        surv = group.iloc[survivors_idx]
+        seen = _rpc_seen(surv, shard_handles, num_shards)
+        status[survivors_idx[seen]] = ST_SEEN
+        unseen_idx = survivors_idx[~seen]
+        if len(unseen_idx):
+            unseen = group.iloc[unseen_idx]
+            ok = _rpc_robots(unseen, gate_handles, pool_size)
+            status[unseen_idx[~ok]] = ST_ROBOTS
+    out = group.copy()
+    out["status"] = status
+    return out
+
+
+# ---------------------------------------------------------------------------
+# execution 2: two-level budget selection (T4/O2 + A.8 salting)
+# ---------------------------------------------------------------------------
+
+def add_sel_slice(batch: pa.Table, n_slices: int) -> pa.Table:
+    """part_key = domain#(h64 % S): every domain pre-split into S fixed
+    hash slices, so a hot domain never concentrates in one partition
+    and no pre-count shuffle is needed (uniform A.8)."""
+    domains = batch.column("domain").to_pylist()
+    h = batch.column("url_hash64").to_numpy(zero_copy_only=False)
+    keys = [f"{d}#{int(x) % n_slices}" for d, x in zip(domains, h)]
+    return batch.append_column("part_key", pa.array(keys, pa.string()))
+
+
+def local_select_rank(group: pd.DataFrame, cfg_ref) -> pd.DataFrame:
+    """Rank one (domain, slice) partition by the pinned priority key
+    (depth, seq, url); the first budget(domain) rows are local winners."""
+    cfg = get_cfg(cfg_ref)
+    b = cfg.budget(group["domain"].iloc[0])
+    g = group.sort_values(["depth", "seq", "url"], kind="mergesort").copy()
+    g["rank"] = np.arange(len(g), dtype=np.int64)
+    g["lsel"] = g["rank"] < b
+    return g
+
+
+def merge_select_group(group: pd.DataFrame, cfg_ref) -> pd.DataFrame:
+    """Per-domain merge over local winners only (<= S*B narrow rows):
+    global top-B by the same key, reported as how many winners each
+    slice contributes — a tiny (part_key, k_take) table that the driver
+    broadcasts back.  Selection itself never leaves the cluster."""
+    cfg = get_cfg(cfg_ref)
+    b = cfg.budget(group["domain"].iloc[0])
+    g = group.sort_values(["depth", "seq", "url"], kind="mergesort").head(b)
+    vc = g["part_key"].value_counts()
+    return pd.DataFrame(
+        {"part_key": vc.index.to_numpy(), "k_take": vc.to_numpy().astype("int64")}
+    )
+
+
+def finalize_sel(batch: pa.Table, ktake_ref) -> pa.Table:
+    """sel = rank < k_take[part_key] (winners are the lowest-ranked rows
+    of each slice because the merge consumes slices in rank order)."""
+    ktake: dict[str, int] = ray.get(ktake_ref)
+    keys = batch.column("part_key").to_pylist()
+    rank = batch.column("rank").to_numpy(zero_copy_only=False)
+    sel = np.fromiter(
+        (r < ktake.get(k, 0) for k, r in zip(keys, rank)), bool, len(keys)
+    )
+    return batch.append_column("sel", pa.array(sel))
+
+
+# ---------------------------------------------------------------------------
+# seen-set commit (step 8)
+# ---------------------------------------------------------------------------
+
+def commit_batch(batch: pa.Table, shard_handles, num_shards: int) -> pa.Table:
+    """Stage selected rows into their seen shards (idempotent, keyed by
+    h64); the driver's commit barrier applies them in (seq, h64) order."""
+    h64 = batch.column("url_hash64").to_numpy(zero_copy_only=False)
+    fp = batch.column("fp").to_numpy(zero_copy_only=False)
+    seq = batch.column("seq").to_numpy(zero_copy_only=False)
+    shard_ids = h64 % np.uint64(num_shards)
+    futures = []
+    for s in np.unique(shard_ids):
+        idx = np.flatnonzero(shard_ids == s)
+        futures.append(
+            shard_handles[int(s)].stage_batch.remote(seq[idx], h64[idx], fp[idx])
+        )
+    ray.get(futures)
+    return batch.select(["url"])
+
+
+# ---------------------------------------------------------------------------
+# execution 3: fetch (J1, bucketed) + extract (M7+M8), fused
+# ---------------------------------------------------------------------------
+
+def add_fetch_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    h = batch.column("url_hash64").to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+    )
+
+
+def fetch_group(group: pd.DataFrame, pages_dir: str) -> pd.DataFrame:
+    """One bucket's selected URLs joined against that bucket's pages
+    partition only — the scale path: a round touches 1/NB of the corpus
+    per bucket instead of shuffling the pages table (SURVEY.md §2.4 J1)."""
+    bucket = int(group["bucket"].iloc[0])
+    bucket_dir = os.path.join(pages_dir, f"bucket={bucket}")
+    urls = group["url"].tolist()
+    if os.path.isdir(bucket_dir):
+        tbl = pads.dataset(bucket_dir).to_table(
+            columns=["url", "html", "lang"],
+            filter=pads.field("url").isin(urls),
+        )
+        pages = tbl.to_pandas()
+    else:
+        pages = pd.DataFrame({"url": [], "html": [], "lang": []})
+    out = group.merge(pages, on="url", how="left")
+    out["found"] = out["html"].notna().astype("int8")
+    out["n_bytes"] = (
+        out["html"].map(lambda h: len(h) if isinstance(h, bytes) else 0).astype("int64")
+    )
+    out["html"] = out["html"].map(lambda h: h if isinstance(h, bytes) else b"")
+    out["lang"] = out["lang"].fillna("")
+    return out
+
+
+_COUNTER_KEYS = [
+    "links_scheme_rejected", "links_out_of_scope", "links_excluded",
+    "links_dup_in_page", "links_overflow",
+]
+
+
+def extract_batch(batch: pa.Table, cfg_ref) -> pa.Table:
+    """html -> (text, kept links as list columns, per-row counters).
+
+    The hot CPU stage: one html.parser pass per page produces both the
+    byte-identical text (A.6) and the document-order hrefs (A.7); the
+    shared kept_links kernel then assigns first-occurrence positions so
+    engine and oracle agree on every child's (link_index, seq).  Rows
+    with found == 0 (fetch misses) pass through with empty text/links."""
+    cfg = get_cfg(cfg_ref)
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    found = batch.column("found").to_numpy(zero_copy_only=False)
+    n = len(urls)
+    texts: list[str] = [""] * n
+    link_urls: list[list[str]] = [[] for _ in range(n)]
+    link_hosts: list[list[str]] = [[] for _ in range(n)]
+    link_domains: list[list[str]] = [[] for _ in range(n)]
+    link_js: list[list[int]] = [[] for _ in range(n)]
+    raw_counts = np.zeros(n, dtype=np.int32)
+    counters = {k: np.zeros(n, dtype=np.int32) for k in _COUNTER_KEYS}
+    for i in range(n):
+        if not found[i]:
+            continue
+        text, hrefs = extract_text_and_links(htmls[i])
+        texts[i] = text
+        raw_counts[i] = len(hrefs)
+        c: dict = {}
+        for cu, host, dom, j in kept_links(urls[i], hrefs, cfg, c):
+            link_urls[i].append(cu)
+            link_hosts[i].append(host)
+            link_domains[i].append(dom)
+            link_js[i].append(j)
+        for k in _COUNTER_KEYS:
+            counters[k][i] = c.get(k, 0)
+    out = batch.drop_columns(["html"])
+    out = out.append_column("text", pa.array(texts, pa.string()))
+    out = out.append_column("link_url", pa.array(link_urls, pa.list_(pa.string())))
+    out = out.append_column("link_host", pa.array(link_hosts, pa.list_(pa.string())))
+    out = out.append_column(
+        "link_domain", pa.array(link_domains, pa.list_(pa.string()))
+    )
+    out = out.append_column("link_j", pa.array(link_js, pa.list_(pa.int32())))
+    out = out.append_column("links_raw", pa.array(raw_counts, pa.int32()))
+    for k in _COUNTER_KEYS:
+        out = out.append_column(k, pa.array(counters[k], pa.int32()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# execution 4: children pass (explode + depth + D2 dedupe + J2 check)
+# ---------------------------------------------------------------------------
+
+def explode_children(
+    batch: pa.Table, cfg_ref, round_no: int, n_parts: int
+) -> pa.Table:
+    """FRONTIER rows for every kept link (vectorized explode via
+    pyarrow list_flatten/list_parent_indices; seq by formula A.5),
+    already carrying the depth status + dedup partition."""
+    cfg = get_cfg(cfg_ref)
+    link_url = batch.column("link_url")
+    parent_idx = pc.list_parent_indices(link_url)
+    if len(parent_idx) == 0:
+        empty = seed_frontier_table([])[:0]
+        empty = empty.append_column("status", pa.array([], pa.int8()))
+        return empty.append_column("dedup_part", pa.array([], pa.int32()))
+    urls = pc.list_flatten(link_url)
+    hosts = pc.list_flatten(batch.column("link_host"))
+    domains = pc.list_flatten(batch.column("link_domain"))
+    js = pc.list_flatten(batch.column("link_j")).to_numpy(zero_copy_only=False)
+    p_depth = batch.column("depth").take(parent_idx).to_numpy(zero_copy_only=False)
+    p_seq = batch.column("seq").take(parent_idx).to_numpy(zero_copy_only=False)
+    child_seqs = (p_seq.astype(np.int64) << LINK_BITS) + js.astype(np.int64) + 1
+    h64, fp = hash_url_batch(urls.to_pylist())
+    n = len(urls)
+    depth = (p_depth + 1).astype(np.int32)
+    status = np.where(depth > cfg.max_depth, CH_DEPTH, CH_OK).astype(np.int8)
+    return pa.table(
+        {
+            "url": urls,
+            "url_hash64": pa.array(h64, pa.uint64()),
+            "fp": pa.array(fp, pa.uint32()),
+            "host": hosts,
+            "domain": domains,
+            "depth": pa.array(depth, pa.int32()),
+            "parent_seq": pa.array(p_seq.astype(np.int64), pa.int64()),
+            "link_index": pa.array(js.astype(np.int32), pa.int32()),
+            "seq": pa.array(child_seqs, pa.int64()),
+            "round_discovered": pa.array(
+                np.full(n, round_no, dtype=np.int32), pa.int32()
+            ),
+            "deferred": pa.array(np.zeros(n, dtype=bool)),
+            "status": pa.array(status, pa.int8()),
+            "dedup_part": pa.array((h64 % np.uint64(n_parts)).astype(np.int32)),
+        }
+    )
+
+
+def child_group(
+    group: pd.DataFrame, shard_handles, num_shards: int
+) -> pd.DataFrame:
+    """One child dedup partition: dedupe in-depth rows, seen-CHECK the
+    survivors (no commit — enqueue is check-only, oracle step 10)."""
+    group = group.reset_index(drop=True)
+    status = group["status"].to_numpy(dtype=np.int8).copy()
+    kept_idx = np.flatnonzero(status == CH_OK)
+    if len(kept_idx):
+        kept = group.iloc[kept_idx]
+        order = kept.sort_values(["url", "depth", "seq"], kind="mergesort")
+        dup_pos = order.index[order["url"].duplicated(keep="first").to_numpy()]
+        status[dup_pos] = CH_DUP
+    survivors_idx = np.flatnonzero(status == CH_OK)
+    if len(survivors_idx):
+        surv = group.iloc[survivors_idx]
+        seen = _rpc_seen(surv, shard_handles, num_shards)
+        status[survivors_idx[seen]] = CH_SEEN
+    out = group.copy()
+    out["status"] = status
+    return out

@@ -1,0 +1,149 @@
+"""Long-lived singleton state actors — SURVEY.md §2.3 T1/T2.
+
+These are the ONLY mutable state in the engine; every other stage is a
+pure function over Arrow batches.  Both actor classes run with
+``num_cpus=0``: they are memory-bound lookup servers doing micro-work
+per RPC, and reserving CPU slices for them starves the real compute
+stages (and deadlocks small sessions when two drivers coexist, e.g.
+the resume test).  They are deliberately *not*
+map_batches actor pools: a pool is N anonymous replicas, while the
+URL-seen shard for ``url_hash64 % num_shards == i`` must be a single
+authority across all stages and rounds (SURVEY.md §4.2 "Singleton
+state").  Stage functions hold plain actor handles (serialized into
+their closures) and fan batched RPCs out per shard.
+
+Determinism: membership checks are read-only; inserts are staged during
+the round (idempotent by url_hash64) and applied at the driver's commit
+barrier sorted by (seq, url_hash64), so snapshots are byte-stable
+regardless of batch arrival order (SURVEY.md §4.5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import ray
+
+from spider_ray.core.config import CrawlConfig
+from spider_ray.core.cuckoo import CuckooFilter
+from spider_ray.core.seqs import ROUND_SECONDS
+
+
+@ray.remote(num_cpus=0)
+class CuckooShard:
+    """One shard of the URL-seen set (the reference's Storage existence
+    check, SURVEY.md §1.1) — a deterministic cuckoo filter plus, in test
+    mode, an exact set sidecar asserting zero false-positive hits."""
+
+    def __init__(self, shard_id: int, capacity: int, exact_mode: bool = True):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity)
+        self.exact: set[int] | None = set() if exact_mode else None
+        self.pending: dict[int, tuple[int, int]] = {}  # h64 -> (seq, fp)
+        self.false_hits = 0
+
+    def check_batch(self, h64s: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        out = self.filter.contains_batch(h64s, fps)
+        if self.exact is not None:
+            for k in range(len(h64s)):
+                if out[k] and int(h64s[k]) not in self.exact:
+                    self.false_hits += 1
+        return out
+
+    def stage_batch(self, seqs: np.ndarray, h64s: np.ndarray, fps: np.ndarray) -> int:
+        """Buffer inserts; idempotent under task re-delivery (keyed h64)."""
+        for k in range(len(h64s)):
+            self.pending[int(h64s[k])] = (int(seqs[k]), int(fps[k]))
+        return len(self.pending)
+
+    def commit_pending(self) -> int:
+        """Apply staged inserts in (seq, h64) order — the determinism
+        barrier of SURVEY.md §4.5."""
+        items = sorted(
+            ((seq, h64, fp) for h64, (seq, fp) in self.pending.items())
+        )
+        for seq, h64, fp in items:
+            self.filter.add(h64, fp)
+            if self.exact is not None:
+                self.exact.add(h64)
+        n = len(items)
+        self.pending.clear()
+        return n
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "items": self.filter.count,
+            "stash": len(self.filter.stash),
+            "false_hits": self.false_hits,
+        }
+
+    def snapshot(self, dirpath: str) -> str:
+        path = os.path.join(dirpath, f"shard-{self.shard_id:02d}.npz")
+        self.filter.save(path)
+        if self.exact is not None:
+            np.save(
+                os.path.join(dirpath, f"shard-{self.shard_id:02d}.exact.npy"),
+                np.array(sorted(self.exact), dtype=np.uint64),
+            )
+        return path
+
+    def load(self, dirpath: str) -> int:
+        path = os.path.join(dirpath, f"shard-{self.shard_id:02d}.npz")
+        self.filter = CuckooFilter.load(path)
+        exact_path = os.path.join(dirpath, f"shard-{self.shard_id:02d}.exact.npy")
+        if self.exact is not None and os.path.exists(exact_path):
+            self.exact = set(np.load(exact_path).tolist())
+        self.pending.clear()
+        return self.filter.count
+
+
+@ray.remote(num_cpus=0)
+class DomainGate:
+    """Per-domain politeness/robots state for domains with
+    ``hash(domain) % P == gate_id`` (the reference's Domain runtime
+    state, SURVEY.md §1.1).  Robots bodies are parsed once per host and
+    cached for the life of the crawl; fetch totals accumulate at each
+    round barrier and feed the exported per-domain rate."""
+
+    def __init__(self, gate_id: int, cfg: CrawlConfig):
+        self.gate_id = gate_id
+        self.cfg = cfg
+        self.fetched_total: dict[str, int] = {}
+        self.rounds_seen = 0
+
+    def check_batch(self, hosts: list[str], path_queries: list[str]) -> np.ndarray:
+        cfg = self.cfg
+        out = np.empty(len(hosts), dtype=bool)
+        for k, (h, pq) in enumerate(zip(hosts, path_queries)):
+            out[k] = cfg.robots_rules(h).allowed(pq)
+        return out
+
+    def note_fetched(self, domains: list[str], counts: list[int], round_no: int) -> None:
+        for d, c in zip(domains, counts):
+            self.fetched_total[d] = self.fetched_total.get(d, 0) + int(c)
+        self.rounds_seen = max(self.rounds_seen, round_no)
+
+    def export_state(self) -> dict:
+        """Columns for the domains.parquet snapshot (schemas.DOMAINS)."""
+        doms = sorted(self.fetched_total)
+        elapsed = max(1.0, self.rounds_seen * ROUND_SECONDS)
+        return {
+            "domain": doms,
+            "crawl_delay_s": [self.cfg.crawl_delay(d) for d in doms],
+            "budget": [self.cfg.budget(d) for d in doms],
+            "fetched_total": [self.fetched_total[d] for d in doms],
+            "rate": [self.fetched_total[d] / elapsed for d in doms],
+        }
+
+    def load_state(self, domains: list[str], fetched: list[int], round_no: int) -> None:
+        self.fetched_total = dict(zip(domains, map(int, fetched)))
+        self.rounds_seen = round_no
+
+
+def gate_shard(domain: str, pool_size: int) -> int:
+    """Deterministic gate assignment (never Python's salted hash())."""
+    import hashlib
+
+    return int.from_bytes(hashlib.sha1(domain.encode()).digest()[:4], "big") % pool_size

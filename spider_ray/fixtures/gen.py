@@ -1,0 +1,255 @@
+"""Deterministic synthetic-web generator — FIXTURES.md §1–§4.
+
+Generates, for a named scale, the four fixture inputs the crawl engine
+and the oracle consume:
+
+    pages.parquet   (url, warc_ts, html, text, lang)   — Table P
+    seeds.parquet   (url, max_depth)
+    robots.parquet  (host, body, crawl_delay_s)
+    config.json     (allowed domains, per-domain exclusion rules, knobs)
+
+Everything is keyed off sha1 — no ``random`` module, no wall clock —
+so regeneration is byte-reproducible (seed 42 is implicit in the fixed
+constants).  The ``text`` column is ``extract_text(html)`` computed
+here with the same kernel the engine uses, which realizes the
+"byte-identical extracted text per url" invariant by construction
+(BASELINE.json input_hint).
+
+Topology (FIXTURES.md §1): D domains ``site{i:04d}.example``; every
+5th domain additionally serves every 10th page from host
+``sub.site{i:04d}.example`` (exercises registrable-domain grouping);
+domain 0 is hot — 10x the median page count, linked from every domain,
+crawl-delay 0.1s (exercises salting + budget skew).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from spider_ray.core.extract import extract_text
+from spider_ray.core.schemas import PAGES, ROBOTS, SEEDS
+from spider_ray.fixtures.lorem import lorem
+
+SCALES = {
+    # name: (D domains, median pages/domain, n_seeds, max_depth)
+    "micro": (20, 50, 10, 4),
+    "small": (60, 150, 30, 5),
+    "bench": (200, 500, 100, 6),
+}
+
+_EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def _h(s: str) -> int:
+    return int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big")
+
+
+def pages_per_domain(i: int, median: int) -> int:
+    if i == 0:
+        return 10 * median
+    return median + ((i * 7) % 11) - 5
+
+
+def host_of(i: int, j: int) -> str:
+    base = f"site{i:04d}.example"
+    if i % 5 == 0 and j % 10 == 7:
+        return f"sub.{base}"
+    return base
+
+
+def path_of(j: int) -> str:
+    return "/" if j == 0 else f"/p/{j}"
+
+
+def url_of(i: int, j: int) -> str:
+    return f"https://{host_of(i, j)}{path_of(j)}"
+
+
+def links_of(i: int, j: int, p_i: int, d: int) -> list[str]:
+    """Raw hrefs of page (i, j) in document order (FIXTURES.md §1 a–e)."""
+    cur_host = host_of(i, j)
+    hrefs: list[str] = []
+    # (a) intra-domain triple, duplicates kept
+    for k in ((j * 3 + 1) % p_i, (j * 3 + 2) % p_i, (j * 7 + 5) % p_i):
+        if host_of(i, k) == cur_host:
+            hrefs.append(path_of(k))
+        else:
+            hrefs.append(url_of(i, k))  # cross-host same registrable domain
+    # (b) cross-domain to page 0 of domain (i+j) % D
+    if j % 4 == 0:
+        hrefs.append(url_of((i + j) % d, 0))
+    # (c) excluded path
+    if j % 5 == 0:
+        hrefs.append(f"/private/x{j}")
+    # (d) relative + query/fragment variants
+    hrefs.append(f"../p/{(j + 1) % p_i}")
+    hrefs.append(f"/p/{j}?a=1#frag")
+    # (e) rejected schemes
+    hrefs.append("mailto:contact@example.com")
+    hrefs.append("javascript:void(0)")
+    return hrefs
+
+
+def html_of(i: int, j: int, p_i: int, d: int) -> bytes:
+    url = url_of(i, j)
+    domain = f"site{i:04d}.example"
+    seed = hashlib.sha1(url.encode()).digest()
+    n_words = 20 + _h(url + "#words") % 61
+    para = lorem(seed, n_words)
+    items = "".join(
+        f'<li><a href="{href}">link {k}</a></li>'
+        for k, href in enumerate(links_of(i, j, p_i, d))
+    )
+    return (
+        f'<html><head><title>{domain} page {j}</title>'
+        f'<script>var x="NOISE{j}";</script>\n'
+        f"<style>.c{{color:red}}</style></head>\n"
+        f"<body><h1>Heading {j} of {domain}</h1>\n"
+        f"<p>Deterministic paragraph {j}: {para}</p>\n"
+        f"<div>Nested <b>inline {j}</b> text<br>after break</div>\n"
+        f"<ul>{items}</ul>\n"
+        f"<noscript>HIDDEN</noscript></body></html>"
+    ).encode("utf-8")
+
+
+def lang_of(url: str) -> str:
+    r = _h(url + "#lang") % 100
+    if r < 60:
+        return _LANGS[0]
+    return _LANGS[1 + (r - 60) // 10]
+
+
+def _gen_domain_chunk(args: tuple[int, int, int, int]) -> dict:
+    """Generate all page rows for domains [lo, hi) — process-pool unit."""
+    lo, hi, median, d = args
+    urls, htmls, texts, langs, ordinals = [], [], [], [], []
+    for i in range(lo, hi):
+        p_i = pages_per_domain(i, median)
+        for j in range(p_i):
+            u = url_of(i, j)
+            h = html_of(i, j, p_i, d)
+            urls.append(u)
+            htmls.append(h)
+            texts.append(extract_text(h))
+            langs.append(lang_of(u))
+            ordinals.append((i, j))
+    return {"urls": urls, "htmls": htmls, "texts": texts, "langs": langs,
+            "ordinals": ordinals}
+
+
+def generate(scale: str, outdir: str, processes: int | None = None) -> None:
+    d, median, n_seeds, max_depth = SCALES[scale]
+    os.makedirs(outdir, exist_ok=True)
+
+    # ---- pages (parallel over domain chunks; deterministic by order) ----
+    nproc = processes or min(8, os.cpu_count() or 1)
+    bounds = []
+    step = max(1, d // (nproc * 4))
+    lo = 0
+    while lo < d:
+        bounds.append((lo, min(d, lo + step), median, d))
+        lo += step
+    if nproc > 1 and d > 4:
+        with ProcessPoolExecutor(max_workers=nproc) as ex:
+            chunks = list(ex.map(_gen_domain_chunk, bounds))
+    else:
+        chunks = [_gen_domain_chunk(b) for b in bounds]
+
+    urls = [u for c in chunks for u in c["urls"]]
+    htmls = [h for c in chunks for h in c["htmls"]]
+    texts = [t for c in chunks for t in c["texts"]]
+    langs = [l for c in chunks for l in c["langs"]]
+    ts = [_EPOCH_US + k * 1_000_000 for k in range(len(urls))]
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        },
+        schema=PAGES,
+    )
+    pq.write_table(pages, os.path.join(outdir, "pages.parquet"),
+                   row_group_size=4096)
+
+    # ---- seeds ----------------------------------------------------------
+    stride = max(1, d // n_seeds)
+    seed_domains = list(range(0, d, stride))[:n_seeds]
+    seeds = pa.table(
+        {
+            "url": pa.array([f"https://site{i:04d}.example/" for i in seed_domains]),
+            "max_depth": pa.array([max_depth] * len(seed_domains), pa.int32()),
+        },
+        schema=SEEDS,
+    )
+    pq.write_table(seeds, os.path.join(outdir, "seeds.parquet"))
+
+    # ---- robots ---------------------------------------------------------
+    hosts = sorted(
+        {host_of(i, j) for i in range(d) for j in range(pages_per_domain(i, median))}
+    )
+    r_hosts, r_bodies, r_delays = [], [], []
+    for host in hosts:
+        if _h(host + "#robots") % 5 == 0 and host != "site0000.example":
+            continue  # 20% of hosts have no robots.txt -> allow-all
+        body = "User-agent: *\nDisallow: /private/\n"
+        if _h(host + "#agent") % 7 == 0:
+            body += "\nUser-agent: spider-ray\nDisallow: /p/13\n"
+        if host == "site0000.example":
+            delay = 0.1  # hot domain: big budget -> skew
+        else:
+            delay = (0.5, 1.0, 2.0, 5.0)[_h(host + "#delay") % 4]
+        r_hosts.append(host)
+        r_bodies.append(body.encode())
+        r_delays.append(delay)
+    robots = pa.table(
+        {
+            "host": pa.array(r_hosts),
+            "body": pa.array(r_bodies, pa.binary()),
+            "crawl_delay_s": pa.array(r_delays, pa.float64()),
+        },
+        schema=ROBOTS,
+    )
+    pq.write_table(robots, os.path.join(outdir, "robots.parquet"))
+
+    # ---- config ---------------------------------------------------------
+    domains = [f"site{i:04d}.example" for i in range(d)]
+    exclusions = {
+        dom: ["^/private/"] + ([r"\?a="] if i % 5 == 3 else [])
+        for i, dom in enumerate(domains)
+    }
+    with open(os.path.join(outdir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "scale": scale,
+                "allowed_domains": domains,
+                "exclusions": exclusions,
+                "max_depth": max_depth,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="generate synthetic-web fixtures")
+    ap.add_argument("scale", choices=sorted(SCALES))
+    ap.add_argument("outdir")
+    ap.add_argument("--processes", type=int, default=None)
+    args = ap.parse_args()
+    generate(args.scale, args.outdir, args.processes)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Generic relational ops layer — SURVEY.md §2.10 / §5.3.
+
+The reusable building blocks the ``queries()`` harness and the crawl
+pipeline share: column-pruned reads, vectorized filters, partial
+(combiner) aggregation before the shuffle, broadcast hash joins for
+small sides, hash-partitioned exact dedup, top-k.
+
+Scale notes baked into each op:
+  * reads always pass ``columns=`` so only needed columns leave storage;
+  * aggregations pre-combine inside map_batches (one partial row per
+    key per batch) so the groupby shuffle moves partials, not rows;
+  * joins whose small side fits in memory broadcast it via ``ray.put``
+    — never an all-to-all shuffle;
+  * nothing materializes the big side on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------------------
+# partial (combiner) aggregation: map_batches partials -> small groupby
+# ---------------------------------------------------------------------------
+
+def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | None):
+    """SUM/COUNT groupby with per-batch pre-aggregation.
+
+    ``sums`` maps source column -> output name; ``counts`` names an
+    output row-count column.  The shuffle input is one row per key per
+    batch instead of one row per input row.
+    """
+    from ray.data.aggregate import Sum
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.select(keys + list(sums)).to_pandas()
+        gb = df.groupby(keys, sort=False, as_index=False)
+        agg = gb.agg({c: "sum" for c in sums})
+        if counts:
+            agg[counts] = gb.size()["size"].values
+        return pa.Table.from_pandas(agg.rename(columns=sums), preserve_index=False)
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    aggs = [Sum(v, alias_name=v) for v in sums.values()]
+    if counts:
+        aggs.append(Sum(counts, alias_name=counts))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# broadcast hash join (small side shipped once via ray.put)
+# ---------------------------------------------------------------------------
+
+def broadcast_join(big, small_df: pd.DataFrame, on: str, how: str = "inner"):
+    small_ref = ray.put(small_df)
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        small = ray.get(small_ref)
+        df = t.to_pandas().merge(small, on=on, how=how)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return big.map_batches(join_batch, batch_format="pyarrow")
+
+
+def broadcast_semi_anti(big, keys: set, on: str, anti: bool = False):
+    keys_ref = ray.put(keys)
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        col = t.column(on).to_pylist()
+        mask = np.fromiter((v in ks for v in col), bool, len(col))
+        if anti:
+            mask = ~mask
+        return t.filter(pa.array(mask))
+
+    return big.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-partition + per-group first (SURVEY.md §2.7 D2 pattern)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds, keys: list[str], order_by: list[str], n_parts: int = 32):
+    """Keep the first row per key group ordered by ``order_by`` —
+    hash-partitioned on the key so each partition dedupes locally."""
+    import hashlib
+
+    def add_part(t: pa.Table) -> pa.Table:
+        cols = [t.column(k).to_pylist() for k in keys]
+        parts = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.sha1("\x00".join(map(str, row)).encode()).digest()[:4],
+                    "big",
+                )
+                % n_parts
+                for row in zip(*cols)
+            ),
+            np.int32,
+            len(t),
+        )
+        return t.append_column("__part", pa.array(parts))
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + order_by, kind="mergesort")
+        return g.drop_duplicates(keys, keep="first").drop(columns="__part")
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dedupe, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k (per-batch prune -> tiny global sort)
+# ---------------------------------------------------------------------------
+
+def top_k(ds, by: list[str], k: int, descending: bool = True):
+    """Per-batch local top-k before the global sort so the shuffle sees
+    at most k rows per block."""
+
+    def local(t: pa.Table) -> pa.Table:
+        order = [(c, "descending" if descending else "ascending") for c in by]
+        idx = pc.sort_indices(t, sort_keys=order)[:k]
+        return t.take(idx)
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return pruned.sort(by, descending=descending).limit(k)

@@ -1,0 +1,261 @@
+"""Relational harness queries — SURVEY.md §5.3.
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame /
+Table; ``ORACLE_SQL`` holds the DuckDB twin with IDENTICAL column
+names (the driver's compare hashes values under sorted column names).
+These exercise the same generic ops layer (spider_ray.ops) the crawl
+engine is built from.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from spider_ray import ops
+
+
+# -- M4-style vectorized filter + projection ---------------------------------
+
+def filter_lineitem(sf_dir: str):
+    ds = ops.read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(t.column("l_shipdate"), pa.scalar("1995-01-01").cast(
+                pa.timestamp("us"))),
+            pc.greater(t.column("l_discount"), 0.05),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -- A2-style partial+final aggregation (TPC-H Q1 shape) ---------------------
+
+def agg_by_returnflag(sf_dir: str):
+    ds = ops.read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def add_disc_price(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))
+        )
+        return t.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(add_disc_price, batch_format="pyarrow")
+    out = ops.partial_sum_agg(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        sums={
+            "l_quantity": "sum_qty",
+            "l_extendedprice": "sum_base_price",
+            "disc_price": "sum_disc_price",
+        },
+        counts="count_order",
+    )
+    return out
+
+
+# -- O3 top-k ---------------------------------------------------------------
+
+def topk_customers_by_acctbal(sf_dir: str):
+    ds = ops.read_table(sf_dir, "customer",
+                        columns=["c_custkey", "c_name", "c_acctbal"])
+    return ops.top_k(ds, ["c_acctbal", "c_custkey"], 10, descending=True)
+
+
+# -- J-family: broadcast hash join (small dim side shipped once) -------------
+
+def join_orders_customer(sf_dir: str):
+    import pyarrow.parquet as pq
+    import os
+
+    customers = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).to_pandas()
+    orders = ops.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    joined = ops.broadcast_join(
+        orders, customers.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+    return joined
+
+
+# -- D2 exact dedup ----------------------------------------------------------
+
+def dedup_events_by_user_type(sf_dir: str):
+    ds = ops.read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "event_type"])
+    out = ops.exact_dedup(ds, keys=["user_id", "event_type"],
+                          order_by=["event_id"])
+    return out.select_columns(["user_id", "event_type", "event_id"])
+
+
+# -- A3 distinct -------------------------------------------------------------
+
+def distinct_nations(sf_dir: str):
+    ds = ops.read_table(sf_dir, "nation", columns=["n_name"])
+    names = sorted(ds.unique("n_name"))
+    return pa.table({"n_name": pa.array(names, pa.string())})
+
+
+# -- D5 anti-join (EXCEPT) ---------------------------------------------------
+
+def nations_except_asia_region(sf_dir: str):
+    import os
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    asia_keys = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    nation = ops.read_table(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+    return ops.broadcast_semi_anti(nation, asia_keys, on="n_regionkey", anti=True)
+
+
+# -- 2.8 JSON scalar function ------------------------------------------------
+
+def events_json_extract(sf_dir: str):
+    ds = ops.read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = [int(json.loads(p)["k"]) for p in t.column("props").to_pylist()]
+        return pa.table(
+            {"event_id": t.column("event_id"), "k": pa.array(ks, pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -- A1 per-key counts -------------------------------------------------------
+
+def domain_counts_documents(sf_dir: str):
+    ds = ops.read_table(sf_dir, "documents", columns=["source"])
+    out = ds.groupby("source").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["source", "n"]), batch_format="pyarrow"
+    )
+
+
+# -- 2.8 date functions ------------------------------------------------------
+
+def orders_by_month(sf_dir: str):
+    ds = ops.read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def add_month(t: pa.Table) -> pa.Table:
+        m = pc.strftime(t.column("o_orderdate"), format="%Y-%m")
+        return pa.table(
+            {"month": m, "o_totalprice": t.column("o_totalprice")}
+        )
+
+    ds = ds.map_batches(add_month, batch_format="pyarrow")
+    return ops.partial_sum_agg(
+        ds, keys=["month"], sums={"o_totalprice": "total_price"}, counts="n_orders"
+    )
+
+
+# -- windowed aggregate over the events stream (§2.9 pattern) ----------------
+
+def events_tumbling_window(sf_dir: str):
+    """10-minute tumbling window per event_type: count + sum(value).
+    Window id derives from data (epoch_us // window), so any partition
+    order works — groupby does the shuffle."""
+    ds = ops.read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        w = pc.multiply(pc.divide(us, 600_000_000), 600_000_000)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": w.cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    return ops.partial_sum_agg(
+        ds, keys=["event_type", "window_start"], sums={"value": "sum_value"},
+        counts="n",
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "filter_lineitem": """
+        SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_discount > 0.05
+    """,
+    "agg_by_returnflag": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "topk_customers_by_acctbal": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY c_acctbal DESC, c_custkey DESC LIMIT 10
+    """,
+    "join_orders_customer": """
+        SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "dedup_events_by_user_type": """
+        SELECT user_id, event_type, min(event_id) AS event_id
+        FROM events GROUP BY user_id, event_type
+    """,
+    "distinct_nations": "SELECT DISTINCT n_name FROM nation ORDER BY n_name",
+    "nations_except_asia_region": """
+        SELECT n_name, n_regionkey FROM nation
+        WHERE n_regionkey NOT IN
+              (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+    """,
+    "events_json_extract": """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+    "domain_counts_documents": """
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    """,
+    "orders_by_month": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               sum(o_totalprice) AS total_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+    "events_tumbling_window": """
+        SELECT event_type,
+               (epoch_us(ts) // 600000000) * 600000000 AS window_start,
+               sum(value) AS sum_value,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "filter_lineitem": filter_lineitem,
+    "agg_by_returnflag": agg_by_returnflag,
+    "topk_customers_by_acctbal": topk_customers_by_acctbal,
+    "join_orders_customer": join_orders_customer,
+    "dedup_events_by_user_type": dedup_events_by_user_type,
+    "distinct_nations": distinct_nations,
+    "nations_except_asia_region": nations_except_asia_region,
+    "events_json_extract": events_json_extract,
+    "domain_counts_documents": domain_counts_documents,
+    "orders_by_month": orders_by_month,
+    "events_tumbling_window": events_tumbling_window,
+}

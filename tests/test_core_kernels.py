@@ -1,0 +1,157 @@
+"""Unit tests: hashing, regdomain, extractor, robots, seqs, scope."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spider_ray.core.extract import extract_links, extract_text, extract_text_and_links
+from spider_ray.core.hashing import hash_url_batch, url_hash_fp
+from spider_ray.core.regdomain import registrable_domain
+from spider_ray.core.robots import parse_robots
+from spider_ray.core.scope import is_excluded, split_host_pq
+from spider_ray.core.seqs import LINK_BITS, child_seq, domain_budget
+
+
+# -- hashing -----------------------------------------------------------
+def test_hash_stable():
+    h, fp = url_hash_fp("https://site0000.example/")
+    h2, fp2 = url_hash_fp("https://site0000.example/")
+    assert (h, fp) == (h2, fp2)
+    assert 0 < h < 2**64 and 0 < fp < 2**32
+
+
+def test_hash_batch_matches_scalar():
+    urls = [f"https://site{i:04d}.example/p/{i}" for i in range(50)]
+    h64, fp = hash_url_batch(urls)
+    for i, u in enumerate(urls):
+        sh, sf = url_hash_fp(u)
+        assert int(h64[i]) == sh and int(fp[i]) == sf
+    assert h64.dtype == np.uint64 and fp.dtype == np.uint32
+
+
+# -- regdomain ---------------------------------------------------------
+@pytest.mark.parametrize(
+    "host,want",
+    [
+        ("site0001.example", "site0001.example"),
+        ("sub.site0001.example", "site0001.example"),
+        ("a.b.site0001.example", "site0001.example"),
+        ("www.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+    ],
+)
+def test_regdomain(host, want):
+    assert registrable_domain(host) == want
+
+
+# -- extractor ---------------------------------------------------------
+HTML = (
+    b'<html><head><title>t p 1</title><script>var x="NOISE";</script>'
+    b"<style>.c{color:red}</style></head>"
+    b"<body><h1>Heading 1</h1>"
+    b"<p>Para   with\n  runs</p>"
+    b'<div>Nested <b>inline</b> text<br>after break</div>'
+    b'<ul><li><a href="/p/1">link 0</a></li>'
+    b'<li><a href="/p/1">link 0 again</a></li>'
+    b'<li><a href="mailto:x@y">mail</a></li></ul>'
+    b"<noscript>HIDDEN<a href='/hidden'>h</a></noscript></body></html>"
+)
+
+
+def test_extract_text_rules():
+    text = extract_text(HTML)
+    lines = text.split("\n")
+    assert "Heading 1" in lines
+    assert "Para with runs" in lines
+    assert "Nested inline text" in lines
+    assert "after break" in lines
+    assert all("NOISE" not in ln for ln in lines)
+    assert all("HIDDEN" not in ln for ln in lines)
+    assert all("t p 1" not in ln for ln in lines)  # title inside skipped head
+    assert "" not in lines
+
+
+def test_extract_links_order_and_hidden():
+    links = extract_links(HTML)
+    # document order, duplicates kept, links inside skipped subtrees kept
+    assert links == ["/p/1", "/p/1", "mailto:x@y", "/hidden"]
+
+
+def test_combined_matches_separate():
+    t, l = extract_text_and_links(HTML)
+    assert t == extract_text(HTML)
+    assert l == extract_links(HTML)
+
+
+# -- robots ------------------------------------------------------------
+ROBOTS_BODY = b"""
+# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+
+User-agent: spider-ray
+Disallow: /p/13
+"""
+
+
+def test_robots_agent_precedence():
+    r = parse_robots(ROBOTS_BODY)  # our agent -> only spider-ray group
+    assert r.allowed("/private/x")  # * group does not apply to us
+    assert not r.allowed("/p/13")
+    assert not r.allowed("/p/134")  # prefix match
+    assert r.allowed("/p/1")
+
+
+def test_robots_star_group():
+    r = parse_robots(b"User-agent: *\nDisallow: /private/\nAllow: /private/ok\n")
+    assert not r.allowed("/private/x")
+    assert r.allowed("/private/ok")  # longer allow wins
+    assert r.allowed("/public")
+
+
+def test_robots_empty_disallow_and_missing():
+    r = parse_robots(b"User-agent: *\nDisallow:\n")
+    assert r.allowed("/anything")
+    r2 = parse_robots(b"")
+    assert r2.allowed("/x")
+
+
+def test_robots_crawl_delay_parsed():
+    r = parse_robots(b"User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n")
+    assert r.crawl_delay_s == 2.5
+
+
+# -- seqs / budget -----------------------------------------------------
+def test_child_seq_unique_blocks():
+    a = child_seq(5, 63)
+    b = child_seq(6, 0)
+    assert a == (5 << LINK_BITS) + 64
+    assert b == (6 << LINK_BITS) + 1
+    assert a != b
+
+
+def test_budget():
+    assert domain_budget(1.0) == 60
+    assert domain_budget(5.0) == 12
+    assert domain_budget(0.1) == 600
+    assert domain_budget(None) == 60
+    assert domain_budget(120.0) == 1
+
+
+# -- scope -------------------------------------------------------------
+def test_split_host_pq():
+    assert split_host_pq("https://sub.site.example/p/1?a=1") == (
+        "sub.site.example",
+        "/p/1?a=1",
+    )
+    assert split_host_pq("http://h.example:8080/") == ("h.example", "/")
+
+
+def test_is_excluded():
+    assert is_excluded("/private/x3", ("^/private/",))
+    assert not is_excluded("/p/3", ("^/private/",))
+    assert is_excluded("/p/3?a=1", ("^/private/", r"\?a="))

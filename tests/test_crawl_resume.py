@@ -1,0 +1,120 @@
+"""Resume + invariance tests — SURVEY.md §5.2(3,4).
+
+Resume: run 3 rounds, throw the driver (and its actors) away, build a
+fresh driver on the same checkpoint directory and let it finish.  The
+combined outputs must be byte-identical to an uninterrupted run.
+
+Invariance: different shard/partition counts must not change any
+output (catches arrival-order leaks, SURVEY.md §4.5).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+ORDER_KEY = ["round", "depth", "domain", "seq", "url"]
+
+
+def _collect(ckpt: str, sub: str, cols: list[str]) -> pd.DataFrame:
+    files = sorted(glob.glob(os.path.join(ckpt, "round=*", sub, "*.parquet")))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+    out = df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    for c in out.columns:
+        if out[c].dtype.kind in "iu":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+MAX_ROUNDS = 5  # capped: resume/invariance semantics show within 5 rounds
+
+
+def _run_full(fixture: str, ckpt: str, **kw) -> list[dict]:
+    from spider_ray.crawl.driver import CrawlDriver
+
+    return CrawlDriver(fixture, ckpt, **kw).run(max_rounds=MAX_ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def baseline_ckpt(ray_session, micro_fixture, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt_base"))
+    metrics = _run_full(micro_fixture, ckpt)
+    return ckpt, metrics
+
+
+def test_resume_is_byte_identical(ray_session, micro_fixture, tmp_path_factory,
+                                  baseline_ckpt):
+    from spider_ray.crawl.driver import CrawlDriver
+
+    base_ckpt, base_metrics = baseline_ckpt
+    ckpt = str(tmp_path_factory.mktemp("ckpt_resume"))
+    # phase 1: 3 rounds, then abandon the driver mid-crawl
+    d1 = CrawlDriver(micro_fixture, ckpt)
+    d1.run(max_rounds=3)
+    assert d1.latest_round() == 3
+    d1.close()  # simulate driver death: actors and their state are gone
+    # phase 2: fresh driver + fresh actors resume from the checkpoint
+    d2 = CrawlDriver(micro_fixture, ckpt)
+    d2.run(max_rounds=MAX_ROUNDS - 3)
+    assert d2.start_round == 4
+
+    for sub, cols in (
+        ("order", ORDER_KEY),
+        ("out", ["url", "text", "lang", "round", "seq"]),
+    ):
+        pd.testing.assert_frame_equal(
+            _collect(ckpt, sub, cols), _collect(base_ckpt, sub, cols)
+        )
+    resumed_metrics = d1.metrics + d2.metrics
+    for mo, me in zip(base_metrics, resumed_metrics):
+        diffs = {k: (mo[k], me[k]) for k in mo if k != "wall_s" and mo[k] != me[k]}
+        assert not diffs
+
+
+def test_invariance_under_partitioning(ray_session, micro_fixture,
+                                       tmp_path_factory, baseline_ckpt):
+    """Different num_shards / dedup partitions / fetch buckets ->
+    identical outputs (determinism comes from data, never placement)."""
+    from spider_ray.core.config import load_crawl_config
+
+    base_ckpt, base_metrics = baseline_ckpt
+    ckpt = str(tmp_path_factory.mktemp("ckpt_inv"))
+    cfg = load_crawl_config(micro_fixture, num_shards=4, gate_pool_size=2)
+    from spider_ray.crawl.driver import CrawlDriver
+
+    metrics = CrawlDriver(
+        micro_fixture, ckpt, cfg, fetch_buckets=7, dedup_parts=3, sel_slices=3
+    ).run(max_rounds=MAX_ROUNDS)
+
+    for sub, cols in (
+        ("order", ORDER_KEY),
+        ("out", ["url", "text", "lang", "round", "seq"]),
+    ):
+        pd.testing.assert_frame_equal(
+            _collect(ckpt, sub, cols), _collect(base_ckpt, sub, cols)
+        )
+    for mo, me in zip(base_metrics, metrics):
+        diffs = {k: (mo[k], me[k]) for k in mo if k != "wall_s" and mo[k] != me[k]}
+        assert not diffs
+
+
+def test_salting_preserves_semantics(ray_session, micro_fixture,
+                                     tmp_path_factory, baseline_ckpt):
+    """Selection slicing (the always-on A.8 salting: S hash slices per
+    domain) must be placement-only: S=1 (no salting at all) and the
+    default S=8 produce identical selections and outputs."""
+    from spider_ray.crawl.driver import CrawlDriver
+
+    base_ckpt, base_metrics = baseline_ckpt
+    ckpt = str(tmp_path_factory.mktemp("ckpt_salt"))
+    metrics = CrawlDriver(micro_fixture, ckpt, sel_slices=1).run(max_rounds=MAX_ROUNDS)
+    pd.testing.assert_frame_equal(
+        _collect(ckpt, "order", ORDER_KEY), _collect(base_ckpt, "order", ORDER_KEY)
+    )
+    for mo, me in zip(base_metrics, metrics):
+        diffs = {k: (mo[k], me[k]) for k in mo if k != "wall_s" and mo[k] != me[k]}
+        assert not diffs
