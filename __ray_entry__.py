@@ -3,42 +3,151 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+code reachable from here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_ENTRY_FIXTURE = "/tmp/spider_ray_entry/fixture_micro"
+_ENTRY_CKPT = "/tmp/spider_ray_entry/ckpt"
+
+_worker_import_checked = False
+
+
+def _ensure_worker_importable() -> None:
+    """Ray workers inherit the session's env from ray.init time — which
+    the driver owns — so when this repo is imported via a driver-side
+    sys.path edit (cwd != /root/repo), workers cannot import spider_ray
+    by name.  Probe once; if workers can't import it, register the
+    package for cloudpickle BY-VALUE serialization so every stage
+    function/actor class ships self-contained (no worker-side import)."""
+    global _worker_import_checked
+    if _worker_import_checked:
+        return
+    import ray
+
+    if not ray.is_initialized():
+        return  # nothing to probe yet; caller will re-enter after init
+
+    @ray.remote(num_cpus=0)
+    def _probe() -> bool:
+        try:
+            import spider_ray  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    if not ray.get(_probe.remote()):
+        import spider_ray
+        from ray import cloudpickle
+
+        cloudpickle.register_pickle_by_value(spider_ray)
+    _worker_import_checked = True
+
+
+def _ensure_micro_fixture(path: str = _ENTRY_FIXTURE) -> str:
+    from spider_ray.fixtures.gen import generate
+
+    if not os.path.exists(os.path.join(path, "config.json")):
+        generate("micro", path)
+    return path
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: the crawl engine on the micro synthetic web
+    (the sf0.001-scale analogue per FIXTURES.md §4 — the driver's TPC-H
+    tables carry no (url, warc_ts, html, text, lang) pages corpus, so
+    the corpus is synthesized deterministically as BASELINE.json's
+    input_hint mandates).  Returns the extracted-text Dataset."""
+    import shutil
+
+    import ray.data
+
+    _ensure_worker_importable()
+    fixture = _ensure_micro_fixture()
+    shutil.rmtree(_ENTRY_CKPT, ignore_errors=True)
+    from spider_ray.crawl.driver import CrawlDriver
+
+    drv = CrawlDriver(fixture, _ENTRY_CKPT)
+    drv.run(max_rounds=4)
+    drv.close()
+    import glob
+
+    out_files = sorted(glob.glob(os.path.join(_ENTRY_CKPT, "round=*", "out", "*.parquet")))
+    return ray.data.read_parquet(out_files)
+
+
+def _crawl_flagship(sf_dir: str) -> Any:
+    """Crawl-order table of a 4-round micro crawl (rows-only check —
+    the crawl is not SQL-expressible; its real oracle is the golden
+    simulator exercised by pytest)."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    _ensure_worker_importable()
+    fixture = _ensure_micro_fixture()
+    ckpt = "/tmp/spider_ray_entry/ckpt_q"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    from spider_ray.crawl.driver import CrawlDriver
+
+    drv = CrawlDriver(fixture, ckpt)
+    drv.run(max_rounds=4)
+    drv.close()
+    import pyarrow as pa
+
+    files = sorted(glob.glob(os.path.join(ckpt, "round=*", "order", "*.parquet")))
+    return pa.concat_tables([pq.read_table(f) for f in files])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    plus the training-data pipelines (dedup, ANN, text analysis,
+    multimodal plumbing)."""
+    _ensure_worker_importable()
+    from spider_ray.pipelines.ann import ANN_QUERIES
+    from spider_ray.pipelines.dedup import DEDUP_QUERIES
+    from spider_ray.pipelines.multimodal import MULTIMODAL_QUERIES
+    from spider_ray.pipelines.relational import QUERIES
+    from spider_ray.pipelines.textstats import TEXT_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(QUERIES)
+    out.update(TEXT_QUERIES)
+    out.update(DEDUP_QUERIES)
+    out.update(ANN_QUERIES)
+    out.update(MULTIMODAL_QUERIES)
+    out["crawl_flagship"] = _crawl_flagship
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query (same column
+    names).  Non-SQL-expressible ops (crawl, MinHash/SimHash LSH, IVF
+    ANN, heuristic scoring, multimodal) get the driver's rows-only
+    check; their real oracles live in pytest (golden simulator,
+    invariance and property tests)."""
+    from spider_ray.pipelines.ann import ANN_ORACLE_SQL
+    from spider_ray.pipelines.dedup import DEDUP_ORACLE_SQL
+    from spider_ray.pipelines.relational import ORACLE_SQL
+    from spider_ray.pipelines.textstats import TEXT_ORACLE_SQL
+
+    out: dict[str, str] = {}
+    out.update(ORACLE_SQL)
+    out.update(TEXT_ORACLE_SQL)
+    out.update(DEDUP_ORACLE_SQL)
+    out.update(ANN_ORACLE_SQL)
+    return out

@@ -32,6 +32,7 @@ import ray
 import ray.data
 
 from spider_ray.core.config import CrawlConfig, load_crawl_config, load_seed_urls
+from spider_ray.core.hashing import hash_url_batch
 from spider_ray.core.schemas import CRAWL_ORDER, DOMAINS, EXTRACTED, FRONTIER
 from spider_ray.crawl import stages
 from spider_ray.crawl.state import CuckooShard, DomainGate, gate_shard
@@ -143,8 +144,6 @@ class CrawlDriver:
 
         def add_bucket(t: pa.Table) -> pa.Table:
             import numpy as np
-
-            from spider_ray.core.hashing import hash_url_batch
 
             h64, _ = hash_url_batch(t.column("url").to_pylist())
             return t.append_column(

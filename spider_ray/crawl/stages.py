@@ -50,6 +50,7 @@ from spider_ray.core.schemas import FRONTIER
 from spider_ray.core.scope import is_excluded, split_host_pq
 from spider_ray.core.seqs import LINK_BITS
 from spider_ray.crawl.state import gate_shard
+from spider_ray.oracle import seed_frontier as _oracle_seed_frontier
 
 _cfg_cache: dict[bytes, CrawlConfig] = {}
 
@@ -74,9 +75,7 @@ def get_cfg(cfg_ref) -> CrawlConfig:
 
 def seed_frontier_table(seed_urls: list[str]) -> pa.Table:
     """Round-0 frontier from the seed list (A.5: seq = seed_index)."""
-    from spider_ray.oracle import seed_frontier
-
-    legs = seed_frontier(seed_urls)
+    legs = _oracle_seed_frontier(seed_urls)
     return pa.table(
         {
             "url": pa.array([l.url for l in legs], pa.string()),

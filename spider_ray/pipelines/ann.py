@@ -1,0 +1,192 @@
+"""Similarity search over the embeddings table.
+
+Brute-force cosine top-k is the exact baseline: the query matrix is
+broadcast once (``ray.put``) and every batch does one numpy matmul
+against it — embarrassingly parallel, no shuffle.  The scale path is
+an IVF-style variant: k-means-ish coarse centroids (deterministically
+seeded), each vector assigned to its nearest centroid bucket, queries
+probe only the closest ``n_probe`` buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from spider_ray import ops
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the first n vectors by vec_id."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    q /= np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    return df["vec_id"].to_numpy(), q
+
+
+def ann_bruteforce_topk(sf_dir: str, n_queries: int = 4, k: int = 5):
+    """Exact cosine top-k: per-batch matmul against the broadcast query
+    matrix, per-batch local top-k, tiny global merge."""
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((qids, qmat))
+    ds = ops.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_q, q = ray.get(q_ref)
+        df = t.to_pandas()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = q @ mat.T  # (nq, batch)
+        out_q, out_v, out_s = [], [], []
+        vids = df["vec_id"].to_numpy()
+        top = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], top - 1)[:top]
+            out_q.extend([int(ids_q[qi])] * len(idx))
+            out_v.extend(vids[idx].tolist())
+            out_s.extend(sims[qi][idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g["cosine"] = g["cosine"].round(6)
+        return g
+
+    return (
+        local.groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["query_id", "cosine"], descending=[False, True])
+    )
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 4, k: int = 5,
+                 n_centroids: int = 8, n_probe: int = 3):
+    """IVF-bucketed approximate top-k — the 100 TB path.
+
+    Centroids are picked deterministically (hash-spread sample of the
+    data, one refinement sweep); vectors are assigned to their nearest
+    centroid inside map_batches (adds a ``bucket`` column — at real
+    scale this assignment is written as the partition layout, queries
+    then read only probed partitions).  Queries probe the n_probe
+    nearest centroid buckets only.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    # deterministic centroid seed: vectors whose sha1(vec_id) is smallest
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas()
+    order = sorted(
+        df["vec_id"].tolist(),
+        key=lambda v: hashlib.sha1(str(v).encode()).digest(),
+    )[:n_centroids]
+    seed = df.set_index("vec_id").loc[order, "embedding"]
+    cents = np.stack(seed.to_numpy()).astype(np.float64)
+    cents /= np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
+
+    mat_all = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat_all /= np.clip(np.linalg.norm(mat_all, axis=1, keepdims=True), 1e-12, None)
+    # one Lloyd sweep for stability (still deterministic)
+    assign = (mat_all @ cents.T).argmax(axis=1)
+    for c in range(n_centroids):
+        members = mat_all[assign == c]
+        if len(members):
+            v = members.mean(axis=0)
+            cents[c] = v / max(1e-12, np.linalg.norm(v))
+
+    cents_ref = ray.put(cents)
+    probes = {int(q): (qmat[i] @ cents.T).argsort()[::-1][:n_probe].tolist()
+              for i, q in enumerate(qids)}
+    q_ref = ray.put((qids, qmat, probes))
+
+    ds = ops.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(tbl: pa.Table) -> pa.Table:
+        ids_q, q, pr = ray.get(q_ref)[0], ray.get(q_ref)[1], ray.get(q_ref)[2]
+        cen = ray.get(cents_ref)
+        d = tbl.to_pandas()
+        mat = np.stack(d["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        buckets = (mat @ cen.T).argmax(axis=1)
+        vids = d["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ids_q):
+            probe_set = pr[int(qid)]
+            mask = np.isin(buckets, probe_set)
+            if not mask.any():
+                continue
+            sims = q[qi] @ mat[mask].T
+            sub_ids = vids[mask]
+            top = min(k, len(sub_ids))
+            idx = np.argpartition(-sims, top - 1)[:top]
+            out_q.extend([int(qid)] * len(idx))
+            out_v.extend(sub_ids[idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g["cosine"] = g["cosine"].round(6)
+        return g
+
+    return (
+        local.groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["query_id", "cosine"], descending=[False, True])
+    )
+
+
+ANN_ORACLE_SQL = {
+    # exact brute-force top-k is SQL-expressible with DuckDB list ops
+    "ann_bruteforce_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings ORDER BY vec_id LIMIT 4
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(
+                     list_cosine_similarity(q.qe, e.embedding), 6
+                   ) AS cosine,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                              e.vec_id ASC
+                   ) AS rn
+            FROM q CROSS JOIN embeddings e
+        )
+        SELECT query_id, vec_id, cosine FROM scored WHERE rn <= 5
+    """,
+}
+
+ANN_QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+}

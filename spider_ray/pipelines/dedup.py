@@ -3,7 +3,7 @@
 Exact and near-duplicate detection at training-data scale, each built
 on the map_batches -> hash-partition groupby skeleton:
 
-  * exact:      sha1(text) -> hash-partition -> first per group;
+  * exact:      md5(text) -> hash-partition -> first per group;
   * MinHash+LSH: shingle -> minhash sig -> band rows -> groupby(band,
                  bucket) -> candidate pairs -> Jaccard verify;
   * SimHash:    64-bit simhash -> bucket by 4x16-bit band -> verify by
@@ -79,17 +79,19 @@ def exact_dedup_documents(sf_dir: str):
     ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_hash(t: pa.Table) -> pa.Table:
+        # md5 (not sha1): DuckDB 1.0's only built-in cryptographic text
+        # hash, and the oracle SQL must compute the identical value
         hs = [
-            hashlib.sha1(x.encode()).hexdigest()
+            hashlib.md5(x.encode()).hexdigest()
             for x in t.column("text").to_pylist()
         ]
         return pa.table(
-            {"doc_id": t.column("doc_id"), "text_sha1": pa.array(hs, pa.string())}
+            {"doc_id": t.column("doc_id"), "text_md5": pa.array(hs, pa.string())}
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    kept = ops.exact_dedup(hashed, keys=["text_sha1"], order_by=["doc_id"])
-    return kept.select_columns(["text_sha1", "doc_id"])
+    kept = ops.exact_dedup(hashed, keys=["text_md5"], order_by=["doc_id"])
+    return kept.select_columns(["text_md5", "doc_id"])
 
 
 def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
@@ -275,8 +277,8 @@ def embedding_near_dup(sf_dir: str, cosine_threshold: float = 0.95):
 
 DEDUP_ORACLE_SQL = {
     "exact_dedup_documents": """
-        SELECT sha1(text) AS text_sha1, min(doc_id) AS doc_id
-        FROM documents GROUP BY sha1(text)
+        SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+        FROM documents GROUP BY md5(text)
     """,
 }
 

@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) pipeline plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata
+(mime, width/height or duration), exactly like ``html:binary`` in the
+crawl corpus.  The Ray-side plumbing — schemas, actor-pool stages with
+per-actor setup, small batch sizes for fat rows, column pruning — is
+real and tested; the codec work itself is STUBBED because no
+image/audio libraries exist in this container:
+
+  * ``DecodeImageStage`` raises NotImplementedError unless
+    ``fake=True``, in which case it produces a deterministic fake
+    decode (dimensions + checksum-derived features) so the pipeline
+    shape can be exercised end-to-end;
+  * a real deployment swaps the stub body for PIL/torchvision/ffmpeg
+    calls — the actor signature, batching and output schema are final.
+
+Batch-size note: media rows are orders of magnitude fatter than text;
+stages here default to batch_size=32 so batch x concurrency stays
+inside a worker heap (SURVEY.md §4.2 memory row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+def synthetic_media_table(n: int = 256) -> pa.Table:
+    """Deterministic fake media corpus (payload = seeded bytes)."""
+    ids, mimes, payloads = [], [], []
+    for i in range(n):
+        seed = hashlib.sha1(f"media{i}".encode()).digest()
+        ids.append(i)
+        mimes.append("image/fake" if i % 3 else "audio/fake")
+        payloads.append(seed * (8 + i % 23))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(mimes, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class DecodeImageStage:
+    """Actor-pool decode stage: model/codec init once per actor
+    (__init__), decode per batch (__call__).  Stub: no image libs in
+    this container — set fake=True for the deterministic fake decode."""
+
+    def __init__(self, fake: bool = False, target_size: int = 16):
+        self.fake = fake
+        self.target_size = target_size
+        if not fake:
+            # real build: import PIL.Image / cv2 here, load once per actor
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "construct with fake=True to exercise the pipeline plumbing"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        payloads = batch.column("payload").to_pylist()
+        widths, heights, feats = [], [], []
+        d = self.target_size
+        for p in payloads:
+            digest = hashlib.sha1(p).digest()
+            w = 64 + digest[0]
+            h = 64 + digest[1]
+            rng_bytes = (digest * ((4 * d) // len(digest) + 1))[: 4 * d]
+            feat = (
+                np.frombuffer(rng_bytes, dtype=np.uint8)[:d].astype(np.float32)
+                / 255.0
+            )
+            widths.append(w)
+            heights.append(h)
+            feats.append(feat.tolist())
+        return pa.table(
+            {
+                "media_id": ids,
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            },
+            schema=IMAGE_FEATURES_SCHEMA,
+        )
+
+
+def decode_media_pipeline(sf_dir: str | None = None):
+    """Fake-decode pipeline over the synthetic media corpus: filter to
+    images (column-pruned), actor-pool decode with small batches.
+    sf_dir is accepted for harness uniformity but unused (media is
+    synthesized — the driver tables carry no binary media column)."""
+    ds = ray.data.from_arrow(synthetic_media_table())
+    images = ds.filter(expr="mime == 'image/fake'")
+    return images.map_batches(
+        DecodeImageStage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+MULTIMODAL_QUERIES = {
+    "decode_media_fake": decode_media_pipeline,
+}

@@ -30,7 +30,7 @@ def filter_lineitem(sf_dir: str):
 
     def f(t: pa.Table) -> pa.Table:
         mask = pc.and_(
-            pc.less(t.column("l_shipdate"), pa.scalar("1995-01-01").cast(
+            pc.less(t.column("l_shipdate"), pa.scalar("1998-01-01").cast(
                 pa.timestamp("us"))),
             pc.greater(t.column("l_discount"), 0.05),
         )
@@ -196,7 +196,7 @@ ORACLE_SQL: dict[str, str] = {
     "filter_lineitem": """
         SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate
         FROM lineitem
-        WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_discount > 0.05
+        WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_discount > 0.05
     """,
     "agg_by_returnflag": """
         SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,99 @@
+"""Self-check of the __ray_entry__ harness: every queries() entry runs
+at sf0.001/sf0.01 and every oracle_sql() twin matches it in DuckDB
+(row count + columns + order-insensitive values) — a local replica of
+the driver's correctness gate."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "M":
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _pairs():
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    return [(name, qs[name], sqls[name]) for name in sqls]
+
+
+@pytest.mark.parametrize("name", [p[0] for p in _pairs()])
+def test_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as e
+
+    fn = e.queries()[name]
+    sql = e.oracle_sql()[name]
+    got = _normalize(_to_pandas(fn(SF_DIR)))
+    want = _normalize(_duck(sql))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-5, atol=1e-6)
+
+
+def test_all_queries_run(ray_session):
+    """Entries without SQL twins still must run and return rows>=0."""
+    import __ray_entry__ as e
+
+    sqls = set(e.oracle_sql())
+    for name, fn in e.queries().items():
+        if name in sqls or name == "crawl_flagship":
+            continue
+        df = _to_pandas(fn(SF_DIR))
+        assert df is not None and len(df) >= 0, name
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 0
+    assert set(df.columns) == {"url", "text", "lang", "round", "seq"}
