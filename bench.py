@@ -1,0 +1,270 @@
+#!/usr/bin/env python
+"""Benchmark harness — SURVEY.md §6 / BASELINE.md protocol.
+
+Headline (the north-star metric): **frontier URLs processed/sec** —
+the full frontier pipeline (canonicalize → dedupe → seen-check →
+robots → budget-select → fetch → extract → link-enqueue) over a large
+pre-seeded frontier: every URL of the Common-Crawl-style ``benchfat``
+corpus (~105k pages, ~40 KB tag-dense html each) enters the frontier at
+once, exactly the 10^10-URL-frontier shape of BASELINE.json scaled to
+the sandbox.  BFS discovery correctness is covered by the golden tests;
+a BFS crawl on the thin fixture is also timed as a query entry.
+
+Plain run prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "crawl": {...throughput detail...}}
+
+``--scaling``: the same headline job in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same pre-built input (fixture
+generation, corpus bucketing and an OS page-cache warm pass are
+untimed and shared), reporting throughput at both plus the scaling
+efficiency, recorded in BENCH/BASELINE.md.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), SPIDER_BENCH_SCALE (default benchfat),
+SPIDER_BFS_ROUNDS (default 6).
+
+This script OWNS its Ray session (init+shutdown) — library code never
+does.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+BENCH_SCALE = os.environ.get("SPIDER_BENCH_SCALE", "benchfat")
+BFS_ROUNDS = int(os.environ.get("SPIDER_BFS_ROUNDS", "6"))
+ROOT = "/tmp/spider_ray_bench"
+FIXTURE = f"{ROOT}/fixture_{BENCH_SCALE}"
+FRONTIER_FIXTURE = f"{ROOT}/frontier_{BENCH_SCALE}"
+SHARED_PAGES = f"{ROOT}/pages_bucketed_{BENCH_SCALE}"
+THIN_FIXTURE = f"{ROOT}/fixture_bench"
+
+QUERY_NAMES = [
+    "agg_by_returnflag",
+    "filter_lineitem",
+    "join_orders_customer",
+    "dedup_events_by_user_type",
+    "events_tumbling_window",
+    "exact_dedup_documents",
+    "minhash_lsh_pairs",
+    "quality_score_documents",
+    "token_count_documents",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+]
+
+
+def ensure_fixture() -> None:
+    """Build (once) everything the timed runs share: the corpus, the
+    all-URLs frontier fixture, and the thin BFS fixture."""
+    from spider_ray.fixtures.gen import generate
+
+    if not os.path.exists(os.path.join(FIXTURE, "config.json")):
+        generate(BENCH_SCALE, FIXTURE)
+    if not os.path.exists(os.path.join(THIN_FIXTURE, "config.json")):
+        generate("bench", THIN_FIXTURE)
+    if not os.path.exists(os.path.join(FRONTIER_FIXTURE, "seeds.parquet")):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(FRONTIER_FIXTURE, exist_ok=True)
+        for name in ("pages.parquet", "robots.parquet", "config.json"):
+            dst = os.path.join(FRONTIER_FIXTURE, name)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(FIXTURE, name), dst)
+        urls = pq.read_table(
+            os.path.join(FIXTURE, "pages.parquet"), columns=["url"]
+        ).column("url")
+        seeds = pa.table(
+            {
+                "url": urls,
+                "max_depth": pa.array([1] * len(urls), pa.int32()),
+            }
+        )
+        pq.write_table(seeds, os.path.join(FRONTIER_FIXTURE, "seeds.parquet"))
+
+
+def ensure_prepared_corpus() -> None:
+    """Bucket the corpus once (untimed, shared by every timed run) and
+    warm the OS page cache so runs measure compute + shuffle, not the
+    first disk read."""
+    if not (os.path.isdir(SHARED_PAGES) and os.listdir(SHARED_PAGES)):
+        import ray
+
+        from spider_ray.crawl.driver import CrawlDriver
+
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        try:
+            drv = CrawlDriver(FIXTURE, f"{ROOT}/prep_ckpt", pages_dir=SHARED_PAGES,
+                              exact_seen=False)
+            drv.prepare_pages()
+            drv.close()
+        finally:
+            ray.shutdown()
+    for f in glob.glob(os.path.join(SHARED_PAGES, "bucket=*", "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
+def _consume(result) -> int:
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.materialize().count()
+    if hasattr(result, "num_rows"):
+        return result.num_rows
+    return len(result)
+
+
+def run_bench(headline_only: bool = False) -> dict:
+    import ray
+
+    ensure_fixture()
+    ensure_prepared_corpus()
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from spider_ray.crawl.driver import CrawlDriver
+
+        # headline: the big pre-seeded frontier, 2 rounds
+        ckpt = f"{ROOT}/ckpt_frontier_{NCPU}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.monotonic()
+        drv = CrawlDriver(FRONTIER_FIXTURE, ckpt, pages_dir=SHARED_PAGES,
+                          exact_seen=False)
+        metrics = drv.run(max_rounds=2)
+        headline_s = time.monotonic() - t0
+        drv.close()
+        urls = sum(m["candidates"] for m in metrics)
+        fetched = sum(m["fetched"] for m in metrics)
+        enqueued = sum(m["enqueued"] for m in metrics)
+        links = sum(m["links_out"] for m in metrics)
+
+        times: dict[str, float] = {"frontier_pipeline": round(headline_s, 3)}
+        if not headline_only:
+            # BFS discovery crawl on the thin fixture
+            bfs_ckpt = f"{ROOT}/ckpt_bfs_{NCPU}"
+            shutil.rmtree(bfs_ckpt, ignore_errors=True)
+            t0 = time.monotonic()
+            d2 = CrawlDriver(THIN_FIXTURE, bfs_ckpt, exact_seen=False)
+            d2.run(max_rounds=BFS_ROUNDS)
+            times["crawl_bfs"] = round(time.monotonic() - t0, 3)
+            d2.close()
+
+            import __ray_entry__ as e
+
+            qs = e.queries()
+            for name in QUERY_NAMES:
+                t0 = time.monotonic()
+                _consume(qs[name](SF_DIR))
+                times[name] = round(time.monotonic() - t0, 3)
+
+        return {
+            "metric": "frontier URLs processed/sec (fetch+dedupe+enqueue)",
+            "value": round(headline_s, 3),
+            "unit": "sec",
+            "queries": times,
+            "sf": SF_DIR,
+            "num_cpus": NCPU,
+            "crawl": {
+                "scale": BENCH_SCALE,
+                "mode": "preseeded-frontier",
+                "rounds": len(metrics),
+                "frontier_urls": urls,
+                "fetched": fetched,
+                "links_extracted": links,
+                "enqueued": enqueued,
+                "urls_per_s": round(urls / headline_s, 1) if headline_s else 0.0,
+            },
+        }
+    finally:
+        ray.shutdown()
+
+
+def _subprocess_run(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               SPIDER_BENCH_SCALE=BENCH_SCALE)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--headline-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def run_scaling() -> dict:
+    ensure_fixture()
+    ensure_prepared_corpus()  # untimed, shared by both runs
+    lo, hi = 8, 32
+    r_lo = _subprocess_run(lo)
+    r_hi = _subprocess_run(hi)
+    t_lo = r_lo["crawl"]["urls_per_s"]
+    t_hi = r_hi["crawl"]["urls_per_s"]
+    eff = (t_hi / t_lo) / (hi / lo) if t_lo else 0.0
+    result = {
+        "scale": BENCH_SCALE,
+        "mode": "preseeded-frontier",
+        "frontier_urls": r_lo["crawl"]["frontier_urls"],
+        "fetched": r_lo["crawl"]["fetched"],
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "urls_per_s_8": t_lo,
+        "urls_per_s_32": t_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured sandbox numbers\n\n"
+            "Protocol: the headline frontier pipeline (every URL of the "
+            "~105k-page benchfat corpus\npre-seeded into the frontier, 2 "
+            "rounds: full fetch+extract+link-enqueue wave, then the\n"
+            "discovered-variant wave) run in two fresh processes, "
+            "`ray.init(address='local', num_cpus=8)`\nvs `num_cpus=32`, "
+            "identical constants (shards/slices/buckets) and identical "
+            "pre-built,\npage-cache-warm input.  Efficiency = "
+            "(urls_per_s_32 / urls_per_s_8) / 4; target >= 0.8\n"
+            "(BASELINE.json north rule).\n\n"
+            "| metric | value |\n| --- | --- |\n"
+            + "".join(f"| {k} | {v} |\n" for k, v in result.items())
+            + f"\nEnvironment: python {sys.version.split()[0]}, "
+            f"ray {__import__('ray').__version__}.\n"
+        )
+    return result
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(headline_only="--headline-only" in sys.argv)))
+
+
+if __name__ == "__main__":
+    main()

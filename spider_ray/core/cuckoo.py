@@ -83,10 +83,30 @@ class CuckooFilter:
         return False
 
     def contains_batch(self, h64s, fps) -> np.ndarray:
-        """Vector membership check; h64s/fps are integer arrays."""
-        out = np.empty(len(h64s), dtype=bool)
-        for k in range(len(h64s)):
-            out[k] = self.contains(int(h64s[k]), int(fps[k]))
+        """Vector membership check; h64s/fps are integer arrays.
+
+        Bucket compares are numpy-vectorized (the actor serves every
+        lookup of its shard, so this loop is the hot path); only the
+        sha1 alt-offset for first-bucket misses stays per-row."""
+        h = np.asarray(h64s, dtype=np.uint64)
+        fp = np.asarray(fps, dtype=np.uint32)
+        i1 = (h % np.uint64(self.n_buckets)).astype(np.int64)
+        out = (self.table[i1] == fp[:, None]).any(axis=1)
+        miss = np.flatnonzero(~out)
+        if len(miss):
+            nb = self.n_buckets
+            i2 = np.fromiter(
+                (self._i2(int(i1[k]), int(fp[k])) for k in miss),
+                np.int64,
+                len(miss),
+            )
+            out[miss] = (self.table[i2] == fp[miss][:, None]).any(axis=1)
+            if self.stash:
+                still = miss[~out[miss]]
+                for k in still:
+                    a, b = (int(i1[k]), int(fp[k])), (int(self._i2(int(i1[k]), int(fp[k]))), int(fp[k]))
+                    if a in self.stash or b in self.stash:
+                        out[k] = True
         return out
 
     # -- insertion ------------------------------------------------------

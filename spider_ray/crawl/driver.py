@@ -33,6 +33,8 @@ import ray.data
 
 from spider_ray.core.config import CrawlConfig, load_crawl_config, load_seed_urls
 from spider_ray.core.hashing import hash_url_batch
+from spider_ray.core.regdomain import registrable_domain
+from spider_ray.core.scope import split_host_pq
 from spider_ray.core.schemas import CRAWL_ORDER, DOMAINS, EXTRACTED, FRONTIER
 from spider_ray.crawl import stages
 from spider_ray.crawl.state import CuckooShard, DomainGate, gate_shard
@@ -45,18 +47,16 @@ def _round_dir(ckpt: str, k: int) -> str:
     return os.path.join(ckpt, f"round={k:04d}")
 
 
-def _write_ds(ds, dirpath: str, schema: pa.Schema) -> int:
-    """write_parquet that tolerates empty datasets (a readable empty
-    file keeps read_parquet on the directory working)."""
+def _write_ds(ds, dirpath: str, schema: pa.Schema, n_rows: int) -> int:
+    """write_parquet driven by a KNOWN row count (derived from metrics)
+    so no extra count/materialize execution is spent; empty outputs get
+    a readable empty file so read_parquet on the directory works."""
     os.makedirs(dirpath, exist_ok=True)
-    if ds is not None:
-        ds = ds.materialize()
-    n = ds.count() if ds is not None else 0
-    if n == 0:
+    if n_rows == 0 or ds is None:
         pq.write_table(schema.empty_table(), os.path.join(dirpath, "part-empty.parquet"))
     else:
         ds.write_parquet(dirpath)
-    return n
+    return n_rows
 
 
 def _col_sums(ds, cols: list[str]) -> dict:
@@ -64,6 +64,29 @@ def _col_sums(ds, cols: list[str]) -> dict:
 
     row = ds.aggregate(*[Sum(c, alias_name=c) for c in cols])
     return {c: int(row[c] or 0) for c in cols}
+
+
+def _value_counts(ds, col: str) -> dict:
+    """Histogram of a low-cardinality column WITHOUT a shuffle: each
+    batch emits its partial counts (a few rows), the driver sums them.
+    Replaces groupby(col).count() for metric histograms — one cheap
+    execution instead of an all-to-all."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        vc = t.column(col).value_counts()
+        return pa.table(
+            {
+                "value": vc.field("values").cast(pa.string()),
+                "n": vc.field("counts"),
+            }
+        )
+
+    out: dict = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out[row["value"]] = out.get(row["value"], 0) + int(row["n"])
+    return out
 
 
 def _filter_eq(ds, col: str, value, drop: list[str] | None = None):
@@ -97,11 +120,14 @@ class CrawlDriver:
         ckpt_dir: str,
         cfg: CrawlConfig | None = None,
         *,
-        fetch_buckets: int = 32,
+        fetch_buckets: int = 128,
         dedup_parts: int = 16,
         sel_slices: int = 8,
         exact_seen: bool = True,
         extract_batch_size: int = 256,
+        phase_b_driver_threshold: int = 200_000,
+        rows_per_block: int = 4096,
+        pages_dir: str | None = None,
     ) -> None:
         self.fixture_dir = fixture_dir
         self.ckpt_dir = ckpt_dir
@@ -111,6 +137,8 @@ class CrawlDriver:
         self.sel_slices = sel_slices
         self.exact_seen = exact_seen
         self.extract_batch_size = extract_batch_size
+        self.phase_b_driver_threshold = phase_b_driver_threshold
+        self.rows_per_block = rows_per_block
         self.metrics: list[dict] = []
 
         ctx = ray.data.DataContext.get_current()
@@ -125,7 +153,9 @@ class CrawlDriver:
         self.gates = [
             DomainGate.remote(i, self.cfg) for i in range(self.cfg.gate_pool_size)
         ]
-        self.pages_dir = os.path.join(ckpt_dir, "pages_bucketed")
+        # the bucketed corpus may be shared across crawls of the same
+        # fixture (it is immutable once built)
+        self.pages_dir = pages_dir or os.path.join(ckpt_dir, "pages_bucketed")
         self.start_round = 1
 
     # -- one-time preparation -------------------------------------------
@@ -145,13 +175,44 @@ class CrawlDriver:
         def add_bucket(t: pa.Table) -> pa.Table:
             import numpy as np
 
-            h64, _ = hash_url_batch(t.column("url").to_pylist())
-            return t.append_column(
-                "bucket", pa.array((h64 % np.uint64(nb)).astype(np.int32))
+            urls = t.column("url").to_pylist()
+            h64, _ = hash_url_batch(urls)
+            b = np.fromiter(
+                (
+                    stages.domain_bucket(
+                        registrable_domain(split_host_pq(u)[0]), int(h), nb
+                    )
+                    for u, h in zip(urls, h64)
+                ),
+                np.int32,
+                len(t),
             )
+            return t.append_column("bucket", pa.array(b))
 
-        pages.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-            tmp, partition_cols=["bucket"]
+        # bucket by registrable domain, url-sorted WITHIN each bucket:
+        # inside a bucket every domain is a contiguous row-group range,
+        # so each round's fetch prunes to the row groups of the domains
+        # it actually touches (see stages.domain_bucket).  The sort+write
+        # happens per bucket inside map_groups tasks — no global sort
+        # shuffle, scales linearly with bucket count.  One-time cost; at
+        # corpus scale this is the standard initial re-partitioning pass.
+        os.makedirs(tmp, exist_ok=True)
+
+        def sort_write_bucket(t: pa.Table) -> pa.Table:
+            b = int(t.column("bucket")[0].as_py())
+            t = t.sort_by("url").drop_columns(["bucket"])
+            d = os.path.join(tmp, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t, os.path.join(d, "part-0.parquet"),
+                           row_group_size=512)
+            return pa.table({"bucket": pa.array([b], pa.int32()),
+                             "rows": pa.array([len(t)], pa.int64())})
+
+        (
+            pages.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(sort_write_bucket, batch_format="pyarrow")
+            .materialize()
         )
         os.rename(tmp, self.pages_dir)
 
@@ -251,8 +312,24 @@ class CrawlDriver:
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
 
+        # Block-count control: Ray splits small inputs into ~2x num_cpus
+        # blocks for parallelism, which at control-plane row counts turns
+        # every stage into a swarm of micro-tasks (measured: 32-cpu rounds
+        # 1.5-2x SLOWER than 8-cpu).  Size blocks from the known frontier
+        # row count instead: ~rows_per_block rows each, capped.
+        prev_manifest = os.path.join(_round_dir(self.ckpt_dir, k - 1), "manifest.json")
+        try:
+            with open(prev_manifest) as pf:
+                pman = json.load(pf)
+            prev_rows = pman.get("metrics", {}).get("enqueued")
+            if prev_rows is None:
+                prev_rows = pman.get("frontier_rows", 0)
+        except (OSError, json.JSONDecodeError):
+            prev_rows = 0
+        n_blocks = max(1, min(256, int(prev_rows) // self.rows_per_block + 1))
         f_in = ray.data.read_parquet(
-            os.path.join(_round_dir(self.ckpt_dir, k - 1), "frontier")
+            os.path.join(_round_dir(self.ckpt_dir, k - 1), "frontier"),
+            override_num_blocks=n_blocks,
         )
 
         # execution 1 — candidate pass: scope/depth flags -> dedupe ->
@@ -279,10 +356,7 @@ class CrawlDriver:
         m["candidates"] = cands.count()
 
         # execution 2 — status histogram -> scope/dedupe/seen/robots metrics
-        sc = {
-            int(r["status"]): int(r["count()"])
-            for r in cands.groupby("status").count().take_all()
-        }
+        sc = {int(k): v for k, v in _value_counts(cands, "status").items()}
         m["depth_dropped"] = sc.get(stages.ST_DEPTH, 0)
         m["excluded"] = sc.get(stages.ST_EXCLUDED, 0)
         m["dedup_batch"] = sc.get(stages.ST_DUP, 0)
@@ -308,25 +382,51 @@ class CrawlDriver:
                 .materialize()
             )
             # execution 4 — selection phase B: per-domain merge of local
-            # winners -> slice->count dict (tiny), broadcast back
+            # winners -> slice->count dict (tiny), broadcast back.  Local
+            # winners are budget-bounded (<= S*B per domain); below the
+            # threshold the merge runs on the driver (one cheap execution,
+            # no shuffle), above it the distributed per-domain groupby
+            # takes over — same deterministic result either way.
             narrow = _filter_eq(ranked, "lsel", True).map_batches(
                 lambda t: t.select(["domain", "part_key", "depth", "seq", "url"]),
                 batch_format="pyarrow",
-            )
-            ktake_rows = (
-                narrow.groupby("domain")
-                .map_groups(
-                    partial(stages.merge_select_group, cfg_ref=cfg_ref),
-                    batch_format="pandas",
-                )
-                .take_all()
-            )
-            ktake = {r["part_key"]: int(r["k_take"]) for r in ktake_rows}
-            # execution 5 — finalize sel flag
-            sel_full = ranked.map_batches(
-                partial(stages.finalize_sel, ktake_ref=ray.put(ktake)),
-                batch_format="pyarrow",
             ).materialize()
+            if narrow.count() <= self.phase_b_driver_threshold:
+                ndf = narrow.to_pandas()
+                ktake = {}
+                for _, g in ndf.groupby("domain", sort=False):
+                    kt = stages.merge_select_group(g, cfg_ref=cfg_ref)
+                    for pk, kv in zip(kt["part_key"], kt["k_take"]):
+                        ktake[pk] = int(kv)
+            else:
+                ktake_rows = (
+                    narrow.groupby("domain")
+                    .map_groups(
+                        partial(stages.merge_select_group, cfg_ref=cfg_ref),
+                        batch_format="pandas",
+                    )
+                    .take_all()
+                )
+                ktake = {r["part_key"]: int(r["k_take"]) for r in ktake_rows}
+            # execution 5 — finalize sel flag + stage seen-set inserts
+            # (fused); the commit BARRIER (seq-sorted apply, §4.5) fires
+            # right after this materialization
+            sel_full = (
+                ranked.map_batches(
+                    partial(stages.finalize_sel, ktake_ref=ray.put(ktake)),
+                    batch_format="pyarrow",
+                )
+                .map_batches(
+                    partial(
+                        stages.stage_selected_batch,
+                        shard_handles=self.shards,
+                        num_shards=cfg.num_shards,
+                    ),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            ray.get([s.commit_pending.remote() for s in self.shards])
         m["selected"] = sum(ktake.values())
         m["budget_deferred"] = eligible_count - m["selected"]
 
@@ -338,34 +438,38 @@ class CrawlDriver:
                 _filter_eq(sel_full, "sel", False), deferred=True
             )
 
-            # execution 6 — commit barrier (inserts applied seq-sorted, §4.5)
-            selected.map_batches(
-                partial(
-                    stages.commit_batch,
-                    shard_handles=self.shards,
-                    num_shards=cfg.num_shards,
-                ),
-                batch_format="pyarrow",
-            ).materialize()
-            ray.get([s.commit_pending.remote() for s in self.shards])
-
-            # execution 7 — crawl-order output (O1 pinned total order)
+            # execution 6 — crawl-order output (O1 pinned total order)
             order_ds = selected.map_batches(
                 partial(_order_project, round_no=k), batch_format="pyarrow"
             ).sort(["depth", "domain", "seq", "url"])
-            _write_ds(order_ds, os.path.join(tmp, "order"), CRAWL_ORDER)
+            _write_ds(order_ds, os.path.join(tmp, "order"), CRAWL_ORDER,
+                      m["selected"])
 
-            # execution 8 — fetch (bucketed join, shuffle of the SMALL
-            # side only) fused with extract (single html pass)
+            # execution 7 — fetch (bucketed join, shuffle of the SMALL
+            # side only) -> block re-split -> extract (single html pass).
+            # The repartition between fetch and extract matters: fetch
+            # groups are per-domain-bucket, so a hot domain yields one
+            # huge block, and map_batches parallelism is per BLOCK — the
+            # re-split turns the extract stage from one straggler task
+            # into an even wave across the cluster.
+            # fetch task count tracks round size (tiny rounds should not
+            # pay 128 micro-reads); sub-bucketing (stages.FETCH_SUB)
+            # bounds the largest bucket, so fetch and extract fuse into
+            # one even task wave with no hot-domain straggler and no
+            # extra html pass through the object store.
+            n_fetch_tasks = min(
+                self.fetch_buckets, max(8, m["selected"] // 500 + 1)
+            )
             ex = (
-                selected.map_batches(
+                selected.repartition(n_fetch_tasks)
+                .map_batches(
                     partial(stages.add_fetch_bucket, n_buckets=self.fetch_buckets),
                     batch_format="pyarrow",
                 )
                 .groupby("bucket")
                 .map_groups(
                     partial(stages.fetch_group, pages_dir=self.pages_dir),
-                    batch_format="pandas",
+                    batch_format="pyarrow",
                 )
                 .map_batches(
                     partial(stages.extract_batch, cfg_ref=cfg_ref),
@@ -389,7 +493,8 @@ class CrawlDriver:
             extracted_ds = _filter_eq(ex, "found", 1).map_batches(
                 partial(_extracted_project, round_no=k), batch_format="pyarrow"
             )
-            _write_ds(extracted_ds, os.path.join(tmp, "out"), EXTRACTED)
+            _write_ds(extracted_ds, os.path.join(tmp, "out"), EXTRACTED,
+                      m["fetched"])
 
             # execution 11 — children pass: explode -> dedupe -> seen check
             ch = (
@@ -416,24 +521,19 @@ class CrawlDriver:
             m["links_out"] = ch.count()
             # execution 12 — child status histogram
             if m["links_out"]:
-                cc = {
-                    int(r["status"]): int(r["count()"])
-                    for r in ch.groupby("status").count().take_all()
-                }
+                cc = {int(k): v for k, v in _value_counts(ch, "status").items()}
                 m["links_depth_dropped"] = cc.get(stages.CH_DEPTH, 0)
                 m["links_dedup"] = cc.get(stages.CH_DUP, 0)
                 m["links_seen"] = cc.get(stages.CH_SEEN, 0)
                 children_new = _normalize_frontier(_filter_eq(ch, "status", 0))
 
             # execution 13 — per-domain fetch totals -> domain gates (A4 rate)
-            by_dom = (
-                _filter_eq(ex, "found", 1).groupby("domain").count().take_all()
-            )
+            by_dom = _value_counts(_filter_eq(ex, "found", 1), "domain")
             by_gate: dict[int, tuple[list, list]] = {}
-            for r in by_dom:
-                g = gate_shard(r["domain"], cfg.gate_pool_size)
-                by_gate.setdefault(g, ([], []))[0].append(r["domain"])
-                by_gate[g][1].append(int(r["count()"]))
+            for dom, cnt in by_dom.items():
+                g = gate_shard(dom, cfg.gate_pool_size)
+                by_gate.setdefault(g, ([], []))[0].append(dom)
+                by_gate[g][1].append(int(cnt))
             ray.get(
                 [
                     self.gates[g].note_fetched.remote(doms, cnts, k)
@@ -441,15 +541,22 @@ class CrawlDriver:
                 ]
             )
         else:
-            _write_ds(None, os.path.join(tmp, "order"), CRAWL_ORDER)
-            _write_ds(None, os.path.join(tmp, "out"), EXTRACTED)
+            _write_ds(None, os.path.join(tmp, "order"), CRAWL_ORDER, 0)
+            _write_ds(None, os.path.join(tmp, "out"), EXTRACTED, 0)
 
-        # execution 14 — next frontier = deferred ∪ unseen children (D1)
+        # final execution — next frontier = deferred ∪ unseen children (D1);
+        # row count derived from metrics, no extra count pass
+        n_children_new = (
+            m["links_out"] - m["links_depth_dropped"] - m["links_dedup"]
+            - m["links_seen"]
+        )
+        n_next = m["budget_deferred"] + n_children_new
         if deferred is not None and children_new is not None:
             nxt = deferred.union(children_new)
         else:
             nxt = deferred if deferred is not None else children_new
-        m["enqueued"] = _write_ds(nxt, os.path.join(tmp, "frontier"), FRONTIER)
+        m["enqueued"] = _write_ds(nxt, os.path.join(tmp, "frontier"), FRONTIER,
+                                  n_next)
 
         # round barrier: snapshot state, manifest, atomic rename (§4.4)
         self._snapshot_state(tmp, k)

@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
+import pyarrow.parquet as pq_file
 import ray
 
 from spider_ray.core.config import CrawlConfig
@@ -245,12 +245,18 @@ def finalize_sel(batch: pa.Table, ktake_ref) -> pa.Table:
 # seen-set commit (step 8)
 # ---------------------------------------------------------------------------
 
-def commit_batch(batch: pa.Table, shard_handles, num_shards: int) -> pa.Table:
-    """Stage selected rows into their seen shards (idempotent, keyed by
-    h64); the driver's commit barrier applies them in (seq, h64) order."""
-    h64 = batch.column("url_hash64").to_numpy(zero_copy_only=False)
-    fp = batch.column("fp").to_numpy(zero_copy_only=False)
-    seq = batch.column("seq").to_numpy(zero_copy_only=False)
+def stage_selected_batch(batch: pa.Table, shard_handles, num_shards: int) -> pa.Table:
+    """Fused into the finalize execution: stage rows with sel == True
+    into their seen shards (idempotent, keyed by h64) and pass the batch
+    through unchanged; the driver's commit barrier applies the staged
+    inserts in (seq, h64) order after the execution materializes."""
+    sel = batch.column("sel").to_numpy(zero_copy_only=False)
+    if not sel.any():
+        return batch
+    idx_sel = np.flatnonzero(sel)
+    h64 = batch.column("url_hash64").to_numpy(zero_copy_only=False)[idx_sel]
+    fp = batch.column("fp").to_numpy(zero_copy_only=False)[idx_sel]
+    seq = batch.column("seq").to_numpy(zero_copy_only=False)[idx_sel]
     shard_ids = h64 % np.uint64(num_shards)
     futures = []
     for s in np.unique(shard_ids):
@@ -259,43 +265,115 @@ def commit_batch(batch: pa.Table, shard_handles, num_shards: int) -> pa.Table:
             shard_handles[int(s)].stage_batch.remote(seq[idx], h64[idx], fp[idx])
         )
     ray.get(futures)
-    return batch.select(["url"])
+    return batch
 
 
 # ---------------------------------------------------------------------------
 # execution 3: fetch (J1, bucketed) + extract (M7+M8), fused
 # ---------------------------------------------------------------------------
 
+FETCH_SUB = 16  # url-hash sub-splits per domain (defuses hot-domain skew)
+
+
+def domain_bucket(domain: str, h64: int, n_buckets: int) -> int:
+    """Fetch bucket = (registrable-domain hash, url-hash sub-split).
+
+    Domain-keyed so the corpus layout keeps each domain's pages in url-
+    sorted contiguous row-group ranges (selective reads decode only the
+    groups a round touches); url-hash SUB-split so a hot domain spreads
+    over FETCH_SUB buckets and the fused fetch+extract task wave has no
+    straggler."""
+    import hashlib
+
+    dh = int.from_bytes(hashlib.sha1(domain.encode()).digest()[4:8], "big")
+    return (dh * FETCH_SUB + int(h64) % FETCH_SUB) % n_buckets
+
+
 def add_fetch_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    domains = batch.column("domain").to_pylist()
     h = batch.column("url_hash64").to_numpy(zero_copy_only=False)
-    return batch.append_column(
-        "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+    b = np.fromiter(
+        (domain_bucket(d, int(x), n_buckets) for d, x in zip(domains, h)),
+        np.int32,
+        len(domains),
     )
+    return batch.append_column("bucket", pa.array(b))
 
 
-def fetch_group(group: pd.DataFrame, pages_dir: str) -> pd.DataFrame:
-    """One bucket's selected URLs joined against that bucket's pages
-    partition only — the scale path: a round touches 1/NB of the corpus
-    per bucket instead of shuffling the pages table (SURVEY.md §2.4 J1)."""
-    bucket = int(group["bucket"].iloc[0])
-    bucket_dir = os.path.join(pages_dir, f"bucket={bucket}")
-    urls = group["url"].tolist()
-    if os.path.isdir(bucket_dir):
-        tbl = pads.dataset(bucket_dir).to_table(
-            columns=["url", "html", "lang"],
-            filter=pads.field("url").isin(urls),
+_EMPTY_PAGES = None
+
+
+def _read_bucket_pages(bucket_dir: str, urls: list[str]) -> pa.Table:
+    """Two-phase selective read of one corpus bucket.
+
+    Phase 1 decodes ONLY the url column (cheap) and matches the probe
+    set vectorized (both sides sorted — the bucket is url-sorted on
+    disk).  Phase 2 decodes url+html+lang ONLY for row groups that
+    contain actual matches, then takes the exact matching rows.  A
+    fetch wave of URLs that mostly miss (e.g. discovered ?query
+    variants) therefore decodes almost no page bytes, and a partial
+    wave decodes only the touched groups — never the whole bucket."""
+    import glob as _glob
+
+    probe = np.array(sorted(set(urls)))
+    parts = []
+    for f in sorted(_glob.glob(os.path.join(bucket_dir, "*.parquet"))):
+        pf = pq_file.ParquetFile(f)
+        url_col = pf.read(columns=["url"]).column("url").combine_chunks()
+        u = np.asarray(url_col.to_pylist())
+        idx = np.searchsorted(u, probe)
+        valid = idx < len(u)
+        hit_rows = idx[valid][u[idx[valid]] == probe[valid]]
+        if len(hit_rows) == 0:
+            continue
+        # map matched row index -> row group
+        bounds = np.cumsum([pf.metadata.row_group(g).num_rows
+                            for g in range(pf.num_row_groups)])
+        groups = np.searchsorted(bounds, hit_rows, side="right")
+        for g in np.unique(groups):
+            start = 0 if g == 0 else bounds[g - 1]
+            local = hit_rows[groups == g] - start
+            tbl = pf.read_row_group(int(g), columns=["url", "html", "lang"])
+            parts.append(tbl.take(pa.array(local)))
+    if not parts:
+        return pa.table(
+            {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary()),
+             "lang": pa.array([], pa.string())}
         )
-        pages = tbl.to_pandas()
+    return pa.concat_tables(parts)
+
+
+def fetch_group(group: pa.Table, pages_dir: str) -> pa.Table:
+    """One bucket's selected URLs joined against that bucket's pages
+    partition only — the scale path: a round reads the row groups of
+    the domains it touches inside 1/NB of the corpus instead of
+    shuffling the pages table (SURVEY.md §2.4 J1).  Arrow-native
+    throughout: selective parquet read -> Acero hash join, html bytes
+    never pass through pandas object arrays."""
+    bucket = int(group.column("bucket")[0].as_py())
+    bucket_dir = os.path.join(pages_dir, f"bucket={bucket}")
+    urls = group.column("url").to_pylist()
+    if os.path.isdir(bucket_dir):
+        pages = _read_bucket_pages(bucket_dir, urls)
     else:
-        pages = pd.DataFrame({"url": [], "html": [], "lang": []})
-    out = group.merge(pages, on="url", how="left")
-    out["found"] = out["html"].notna().astype("int8")
-    out["n_bytes"] = (
-        out["html"].map(lambda h: len(h) if isinstance(h, bytes) else 0).astype("int64")
+        pages = pa.table(
+            {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary()),
+             "lang": pa.array([], pa.string())}
+        )
+    out = group.join(pages, keys="url", join_type="left outer")
+    html = out.column("html")
+    found = pc.true_unless_null(html)
+    n_bytes = pc.coalesce(pc.binary_length(html), pa.scalar(0, pa.int32()))
+    out = out.set_column(
+        out.schema.get_field_index("html"), "html",
+        pc.coalesce(html, pa.scalar(b"", pa.binary())),
     )
-    out["html"] = out["html"].map(lambda h: h if isinstance(h, bytes) else b"")
-    out["lang"] = out["lang"].fillna("")
-    return out
+    out = out.set_column(
+        out.schema.get_field_index("lang"), "lang",
+        pc.coalesce(out.column("lang"), pa.scalar("", pa.string())),
+    )
+    out = out.append_column("found", found.cast(pa.int8()))
+    return out.append_column("n_bytes", n_bytes.cast(pa.int64()))
 
 
 _COUNTER_KEYS = [

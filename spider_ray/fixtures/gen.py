@@ -37,10 +37,16 @@ from spider_ray.core.schemas import PAGES, ROBOTS, SEEDS
 from spider_ray.fixtures.lorem import lorem
 
 SCALES = {
-    # name: (D domains, median pages/domain, n_seeds, max_depth)
-    "micro": (20, 50, 10, 4),
-    "small": (60, 150, 30, 5),
-    "bench": (200, 500, 100, 6),
+    # name: (D domains, median pages/domain, n_seeds, max_depth,
+    #        lorem words lo..hi, crawl-delay scale)
+    # words 20..80 (~2 KB html) for correctness scales; "benchfat" uses
+    # Common-Crawl-realistic page weight (~15-25 KB html, ~10-20 ms
+    # parse) and 10x politeness budgets so the scaling benchmark is
+    # extraction-compute-bound like a real crawl, not overhead-bound.
+    "micro": (20, 50, 10, 4, (20, 80), 1.0),
+    "small": (60, 150, 30, 5, (20, 80), 1.0),
+    "bench": (200, 500, 100, 6, (20, 80), 1.0),
+    "benchfat": (200, 500, 100, 6, (1500, 3000), 0.01),
 }
 
 _EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
@@ -97,12 +103,32 @@ def links_of(i: int, j: int, p_i: int, d: int) -> list[str]:
     return hrefs
 
 
-def html_of(i: int, j: int, p_i: int, d: int) -> bytes:
+def html_of(i: int, j: int, p_i: int, d: int,
+            words: tuple[int, int] = (20, 80)) -> bytes:
     url = url_of(i, j)
     domain = f"site{i:04d}.example"
     seed = hashlib.sha1(url.encode()).digest()
-    n_words = 20 + _h(url + "#words") % 61
-    para = lorem(seed, n_words)
+    lo_w, hi_w = words
+    n_words = lo_w + _h(url + "#words") % (hi_w - lo_w + 1)
+    if hi_w > 500:
+        # fat mode (benchfat): realistic tag density — many short
+        # paragraphs with inline markup, so parse cost matches real
+        # Common-Crawl pages (thousands of tags) instead of one cheap
+        # text node
+        ws = lorem(seed, n_words).split(" ")
+        paras = []
+        for p0 in range(0, len(ws), 8):
+            chunk = ws[p0 : p0 + 8]
+            if len(chunk) > 3:
+                chunk[1] = f"<b>{chunk[1]}</b>"
+                chunk[3] = f"<i>{chunk[3]}</i>"
+            paras.append(
+                f'<p class="t{p0}">{" ".join(chunk)}</p>'
+                f"<div><span>sep {p0}</span><br></div>"
+            )
+        para = "\n".join(paras)
+    else:
+        para = lorem(seed, n_words)
     items = "".join(
         f'<li><a href="{href}">link {k}</a></li>'
         for k, href in enumerate(links_of(i, j, p_i, d))
@@ -126,15 +152,15 @@ def lang_of(url: str) -> str:
     return _LANGS[1 + (r - 60) // 10]
 
 
-def _gen_domain_chunk(args: tuple[int, int, int, int]) -> dict:
+def _gen_domain_chunk(args) -> dict:
     """Generate all page rows for domains [lo, hi) — process-pool unit."""
-    lo, hi, median, d = args
+    lo, hi, median, d, words = args
     urls, htmls, texts, langs, ordinals = [], [], [], [], []
     for i in range(lo, hi):
         p_i = pages_per_domain(i, median)
         for j in range(p_i):
             u = url_of(i, j)
-            h = html_of(i, j, p_i, d)
+            h = html_of(i, j, p_i, d, words)
             urls.append(u)
             htmls.append(h)
             texts.append(extract_text(h))
@@ -145,7 +171,7 @@ def _gen_domain_chunk(args: tuple[int, int, int, int]) -> dict:
 
 
 def generate(scale: str, outdir: str, processes: int | None = None) -> None:
-    d, median, n_seeds, max_depth = SCALES[scale]
+    d, median, n_seeds, max_depth, words, delay_scale = SCALES[scale]
     os.makedirs(outdir, exist_ok=True)
 
     # ---- pages (parallel over domain chunks; deterministic by order) ----
@@ -154,7 +180,7 @@ def generate(scale: str, outdir: str, processes: int | None = None) -> None:
     step = max(1, d // (nproc * 4))
     lo = 0
     while lo < d:
-        bounds.append((lo, min(d, lo + step), median, d))
+        bounds.append((lo, min(d, lo + step), median, d, words))
         lo += step
     if nproc > 1 and d > 4:
         with ProcessPoolExecutor(max_workers=nproc) as ex:
@@ -177,8 +203,11 @@ def generate(scale: str, outdir: str, processes: int | None = None) -> None:
         },
         schema=PAGES,
     )
+    # fat pages get small row groups: the bucketed fetch reads whole row
+    # groups per URL match, so group size bounds read amplification
+    rg = 512 if words[1] > 500 else 4096
     pq.write_table(pages, os.path.join(outdir, "pages.parquet"),
-                   row_group_size=4096)
+                   row_group_size=rg)
 
     # ---- seeds ----------------------------------------------------------
     stride = max(1, d // n_seeds)
@@ -198,15 +227,20 @@ def generate(scale: str, outdir: str, processes: int | None = None) -> None:
     )
     r_hosts, r_bodies, r_delays = [], [], []
     for host in hosts:
-        if _h(host + "#robots") % 5 == 0 and host != "site0000.example":
-            continue  # 20% of hosts have no robots.txt -> allow-all
+        if (delay_scale >= 1.0 and _h(host + "#robots") % 5 == 0
+                and host != "site0000.example"):
+            # 20% of hosts have no robots.txt -> allow-all, default 1s
+            # delay (correctness scales only; the bench scale covers all
+            # hosts so no domain falls back to the 60/round default
+            # budget and drags a long low-work round tail)
+            continue
         body = "User-agent: *\nDisallow: /private/\n"
         if _h(host + "#agent") % 7 == 0:
             body += "\nUser-agent: spider-ray\nDisallow: /p/13\n"
         if host == "site0000.example":
-            delay = 0.1  # hot domain: big budget -> skew
+            delay = 0.1 * delay_scale  # hot domain: big budget -> skew
         else:
-            delay = (0.5, 1.0, 2.0, 5.0)[_h(host + "#delay") % 4]
+            delay = (0.5, 1.0, 2.0, 5.0)[_h(host + "#delay") % 4] * delay_scale
         r_hosts.append(host)
         r_bodies.append(body.encode())
         r_delays.append(delay)
