@@ -90,6 +90,68 @@ def broadcast_semi_anti(big, keys: set, on: str, anti: bool = False):
     return big.map_batches(f, batch_format="pyarrow")
 
 
+def partitioned_hash_join(
+    left, right, on: str, n_buckets: int = 32, how: str = "inner"
+):
+    """Both-sides-large join: explicit partitioned hash join.
+
+    Each side is hashed on the key into n_buckets, the two sides are
+    tagged and unioned (ONE shuffle moves both), and each bucket group
+    splits by tag and joins locally.  This is the scale pattern for
+    joins where neither side fits a broadcast (SURVEY.md §2.4 J1
+    fallback; ray_guide 'Joins and lookups').
+    """
+    import hashlib
+
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    left_cols = list(lschema.names)
+    right_cols = list(rschema.names)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    types = {c: lschema.field(c).type for c in left_cols}
+    for c in right_cols:
+        types.setdefault(c, rschema.field(c).type)
+
+    def pad(side_cols, tag):
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            keys = t.column(on).to_pylist()
+            bucket = np.fromiter(
+                (
+                    int.from_bytes(hashlib.sha1(str(k).encode()).digest()[:4], "big")
+                    % n_buckets
+                    for k in keys
+                ),
+                np.int32,
+                n,
+            )
+            cols = {}
+            for c in all_cols:
+                if c in side_cols:
+                    cols[c] = t.column(c)
+                else:
+                    cols[c] = pa.nulls(n, types[c])  # type-correct padding
+            cols["__side"] = pa.array(np.full(n, tag, dtype=np.int8))
+            cols["__bucket"] = pa.array(bucket)
+            return pa.table(cols)
+
+        return f
+
+    tagged = left.map_batches(pad(left_cols, 0), batch_format="pyarrow").union(
+        right.map_batches(pad(right_cols, 1), batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][left_cols]
+        r = g[g["__side"] == 1][right_cols]
+        return l.merge(r, on=on, how=how)
+
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup: hash-partition + per-group first (SURVEY.md §2.7 D2 pattern)
 # ---------------------------------------------------------------------------

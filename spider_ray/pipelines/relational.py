@@ -95,6 +95,27 @@ def join_orders_customer(sf_dir: str):
     return joined
 
 
+def lineitem_join_orders(sf_dir: str):
+    """Both-sides-large partitioned hash join (J1 fallback pattern):
+    lineitem x orders on orderkey, one tagged-union shuffle, per-bucket
+    local joins."""
+    lineitem = ops.read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    orders = ops.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderstatus"]
+    )
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["l_orderkey", "o_totalprice", "o_orderstatus"])
+
+    joined = ops.partitioned_hash_join(
+        lineitem, orders.map_batches(rekey, batch_format="pyarrow"),
+        on="l_orderkey",
+    )
+    return joined
+
+
 # -- D2 exact dedup ----------------------------------------------------------
 
 def dedup_events_by_user_type(sf_dir: str):
@@ -214,6 +235,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
         FROM orders JOIN customer ON o_custkey = c_custkey
     """,
+    "lineitem_join_orders": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               o_totalprice, o_orderstatus
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
     "dedup_events_by_user_type": """
         SELECT user_id, event_type, min(event_id) AS event_id
         FROM events GROUP BY user_id, event_type
@@ -251,6 +277,7 @@ QUERIES = {
     "agg_by_returnflag": agg_by_returnflag,
     "topk_customers_by_acctbal": topk_customers_by_acctbal,
     "join_orders_customer": join_orders_customer,
+    "lineitem_join_orders": lineitem_join_orders,
     "dedup_events_by_user_type": dedup_events_by_user_type,
     "distinct_nations": distinct_nations,
     "nations_except_asia_region": nations_except_asia_region,
