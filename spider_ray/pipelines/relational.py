@@ -187,6 +187,39 @@ def orders_by_month(sf_dir: str):
     )
 
 
+def events_asof_signup(sf_dir: str):
+    """As-of join (J4 / range-join family): for every event, the most
+    recent preceding signup timestamp of the same user.  Pattern: both
+    sides hash-partitioned by user bucket in ONE shuffle (the small
+    anchor side rides along tagged), then pd.merge_asof per sorted
+    group — the sort+map_groups skeleton for ordered joins."""
+    ds = ops.read_table(sf_dir, "events",
+                        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array((uid % 16).astype(np.int32))
+        )
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        anchors = g[g["event_type"] == "signup"][["user_id", "ts"]].rename(
+            columns={"ts": "signup_ts"}
+        )
+        out = pd.merge_asof(
+            g, anchors, left_on="ts", right_on="signup_ts",
+            by="user_id", direction="backward",
+        )
+        return out[["event_id", "ts", "user_id", "signup_ts"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(asof_group, batch_format="pandas")
+    )
+
+
 # -- windowed aggregate over the events stream (§2.9 pattern) ----------------
 
 def events_tumbling_window(sf_dir: str):
@@ -254,6 +287,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         FROM events
     """,
+    "events_asof_signup": """
+        SELECT e.event_id, e.ts, e.user_id, s.signup_ts
+        FROM events e ASOF LEFT JOIN
+             (SELECT user_id, ts AS signup_ts FROM events
+              WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+    """,
     "domain_counts_documents": """
         SELECT source, count(*) AS n FROM documents GROUP BY source
     """,
@@ -282,6 +322,7 @@ QUERIES = {
     "distinct_nations": distinct_nations,
     "nations_except_asia_region": nations_except_asia_region,
     "events_json_extract": events_json_extract,
+    "events_asof_signup": events_asof_signup,
     "domain_counts_documents": domain_counts_documents,
     "orders_by_month": orders_by_month,
     "events_tumbling_window": events_tumbling_window,
