@@ -75,6 +75,42 @@ def test_resume_is_byte_identical(ray_session, micro_fixture, tmp_path_factory,
         assert not diffs
 
 
+def test_resume_after_midround_crash(ray_session, micro_fixture,
+                                     tmp_path_factory, baseline_ckpt):
+    """A crash MID-ROUND leaves a round=NNNN.tmp dir with partial
+    output; resume must ignore it, replay that round from the last
+    complete checkpoint, and produce byte-identical results (§4.4:
+    'a mid-round crash loses only the .tmp dir')."""
+    import json
+    import os
+
+    from spider_ray.crawl.driver import CrawlDriver
+
+    base_ckpt, base_metrics = baseline_ckpt
+    ckpt = str(tmp_path_factory.mktemp("ckpt_crash"))
+    d1 = CrawlDriver(micro_fixture, ckpt)
+    d1.run(max_rounds=2)
+    d1.close()
+    # simulate a crash during round 3: partial tmp dir with junk output
+    tmp3 = os.path.join(ckpt, "round=0003.tmp")
+    os.makedirs(os.path.join(tmp3, "frontier"))
+    with open(os.path.join(tmp3, "frontier", "part-junk.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    d2 = CrawlDriver(micro_fixture, ckpt)
+    d2.run(max_rounds=MAX_ROUNDS - 2)
+    assert d2.start_round == 3  # resumed from the last COMPLETE round
+    assert not os.path.exists(tmp3)  # junk replaced by the replayed round
+    with open(os.path.join(ckpt, "round=0003", "manifest.json")) as f:
+        assert json.load(f)["round"] == 3
+    for sub, cols in (
+        ("order", ORDER_KEY),
+        ("out", ["url", "text", "lang", "round", "seq"]),
+    ):
+        pd.testing.assert_frame_equal(
+            _collect(ckpt, sub, cols), _collect(base_ckpt, sub, cols)
+        )
+
+
 def test_invariance_under_partitioning(ray_session, micro_fixture,
                                        tmp_path_factory, baseline_ckpt):
     """Different num_shards / dedup partitions / fetch buckets ->
