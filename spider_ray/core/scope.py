@@ -19,12 +19,21 @@ check share (robots rules also match against path+query).
 from __future__ import annotations
 
 import re
-from functools import lru_cache
+
+# plain-dict memo, NOT functools.lru_cache: an lru_cache wrapper only
+# pickles by qualified name, which breaks cloudpickle's by-value
+# fallback for workers that cannot import this package
+# (__ray_entry__._ensure_worker_importable)
+_compiled: dict = {}
 
 
-@lru_cache(maxsize=64)
 def _compile(pattern: str) -> re.Pattern:
-    return re.compile(pattern)
+    rx = _compiled.get(pattern)
+    if rx is None:
+        rx = re.compile(pattern)
+        if len(_compiled) < 1024:
+            _compiled[pattern] = rx
+    return rx
 
 
 def split_host_pq(canon_url: str) -> tuple[str, str]:

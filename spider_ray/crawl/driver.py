@@ -37,6 +37,7 @@ from spider_ray.core.regdomain import registrable_domain
 from spider_ray.core.scope import split_host_pq
 from spider_ray.core.schemas import CRAWL_ORDER, DOMAINS, EXTRACTED, FRONTIER
 from spider_ray.crawl import stages
+from spider_ray.crawl.stages import domain_bucket as _domain_bucket
 from spider_ray.crawl.state import CuckooShard, DomainGate, gate_shard
 from spider_ray.oracle import METRIC_KEYS
 
@@ -177,9 +178,12 @@ class CrawlDriver:
 
             urls = t.column("url").to_pylist()
             h64, _ = hash_url_batch(urls)
+            # NB: capture FUNCTIONS, not the stages module — a module
+            # global in a worker closure defeats the cloudpickle
+            # by-value fallback (__ray_entry__._ensure_worker_importable)
             b = np.fromiter(
                 (
-                    stages.domain_bucket(
+                    _domain_bucket(
                         registrable_domain(split_host_pq(u)[0]), int(h), nb
                     )
                     for u, h in zip(urls, h64)

@@ -10,15 +10,6 @@ response (used to exercise the plumbing end-to-end), or swap
 The actor signature, batching, per-actor session setup and output
 schema (matching fetch_group's) are final.
 
-Known limitation (sandbox fallback mode only): when the repo is NOT
-importable by Ray workers (the cloudpickle by-value fallback in
-__ray_entry__), a downstream map_batches whose UDF captures a
-``ray.ObjectRef`` fails to deserialize behind an actor-pool stage
-(ModuleNotFoundError on the worker; plain-function or fn_kwargs-based
-downstream UDFs are fine — reproduced 2026-08-17, ray 2.49.2).  Run
-with the repo on the workers' import path (cwd=/root/repo, the normal
-mode) and the combination works.
-
 Usage (replacing the J1 join in driver.run_round step 9):
 
     selected.map_batches(
