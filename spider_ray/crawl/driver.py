@@ -7,9 +7,10 @@ fusion layout — roughly 14 executions per round), materializes only the
 bounded frontier working set (politeness-bounded, orders of magnitude
 smaller than the pages corpus), and writes the next checkpoint
 atomically (``round=NNNN.tmp`` -> rename).  The pages corpus itself is
-never shuffled per round: it is hash-bucketed by url once at crawl
-start and each round's fetch touches only the buckets its selected
-URLs fall in (stages.fetch_group).
+never shuffled per round: it is bucketed by registrable domain
+(url-sorted within each bucket) once at crawl start, and each round's
+fetch decodes only the row groups its selected URLs actually hit
+(stages.fetch_group / _read_bucket_pages).
 
 Never calls ray.init()/ray.shutdown() — the session is owned by the
 caller (tests / bench.py / CLI), per the driver contract in

@@ -121,3 +121,34 @@ def test_manifests_complete(engine_run):
         assert man["schema_version"] == 1
         assert os.path.isdir(os.path.join(r, "frontier"))
         assert glob.glob(os.path.join(r, "seen", "*.npz"))
+
+
+def test_small_scale_engine_matches_oracle(ray_session, tmp_path_factory):
+    """Second golden scale (~10k pages): the engine must match the
+    oracle beyond the micro fixture — catches anything size-dependent
+    (block splits, salting slices, bucket counts)."""
+    from spider_ray.crawl.driver import CrawlDriver
+    from spider_ray.fixtures.gen import generate
+    from spider_ray.oracle import OracleCrawl
+
+    fix = str(tmp_path_factory.mktemp("small_fix"))
+    generate("small", fix)
+    sim = OracleCrawl(fix)
+    sim.run()
+    ckpt = str(tmp_path_factory.mktemp("small_ckpt"))
+    drv = CrawlDriver(fix, ckpt)
+    metrics = drv.run(max_rounds=4)
+    drv.close()
+    for i, (mo, me) in enumerate(zip(sim.metrics[:4], metrics)):
+        diffs = {k: (mo[k], me.get(k)) for k in mo
+                 if k != "wall_s" and mo[k] != me.get(k)}
+        assert not diffs, f"round {i + 1}: {diffs}"
+    eng = _norm(_read_all(ckpt, "order"), ORDER_KEY)
+    gold = _norm(
+        pd.DataFrame(
+            [r for r in sim.crawl_order if r[1] <= 4],
+            columns=["seq", "round", "depth", "domain", "url"],
+        ),
+        ORDER_KEY,
+    )
+    pd.testing.assert_frame_equal(eng, gold)
