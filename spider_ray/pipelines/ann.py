@@ -66,13 +66,16 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 4, k: int = 5):
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        g["cosine"] = g["cosine"].round(6)
-        return g
+        # integer basis-point score: float round(x, 4) leaves ~1e-8
+        # representation skew vs DuckDB's round — floor(x*1e4 + 0.5) as
+        # int64 is bit-exact on both sides
+        g["cosine_e4"] = np.floor(g["cosine"] * 10_000.0 + 0.5).astype("int64")
+        return g[["query_id", "vec_id", "cosine_e4"]]
 
     return (
         local.groupby("query_id")
         .map_groups(merge, batch_format="pandas")
-        .sort(["query_id", "cosine"], descending=[False, True])
+        .sort(["query_id", "cosine_e4"], descending=[False, True])
     )
 
 
@@ -153,13 +156,13 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 4, k: int = 5,
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        g["cosine"] = g["cosine"].round(6)
-        return g
+        g["cosine_e4"] = np.floor(g["cosine"] * 10_000.0 + 0.5).astype("int64")
+        return g[["query_id", "vec_id", "cosine_e4"]]
 
     return (
         local.groupby("query_id")
         .map_groups(merge, batch_format="pandas")
-        .sort(["query_id", "cosine"], descending=[False, True])
+        .sort(["query_id", "cosine_e4"], descending=[False, True])
     )
 
 
@@ -172,9 +175,9 @@ ANN_ORACLE_SQL = {
         ),
         scored AS (
             SELECT q.query_id, e.vec_id,
-                   round(
-                     list_cosine_similarity(q.qe, e.embedding), 6
-                   ) AS cosine,
+                   CAST(floor(
+                     list_cosine_similarity(q.qe, e.embedding) * 10000 + 0.5
+                   ) AS BIGINT) AS cosine_e4,
                    row_number() OVER (
                      PARTITION BY q.query_id
                      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
@@ -182,7 +185,7 @@ ANN_ORACLE_SQL = {
                    ) AS rn
             FROM q CROSS JOIN embeddings e
         )
-        SELECT query_id, vec_id, cosine FROM scored WHERE rn <= 5
+        SELECT query_id, vec_id, cosine_e4 FROM scored WHERE rn <= 5
     """,
 }
 

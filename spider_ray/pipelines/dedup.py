@@ -270,7 +270,7 @@ def embedding_near_dup(sf_dir: str, cosine_threshold: float = 0.95):
         {
             "vec_a": pa.array(ids[ai][order], pa.int64()),
             "vec_b": pa.array(ids[bi][order], pa.int64()),
-            "cosine": pa.array(np.round(sim[ai, bi][order], 6), pa.float64()),
+            "cosine": pa.array(np.round(sim[ai, bi][order], 4), pa.float64()),
         }
     )
 

@@ -48,20 +48,33 @@ def agg_by_returnflag(sf_dir: str):
                  "l_extendedprice", "l_discount"],
     )
 
-    def add_disc_price(t: pa.Table) -> pa.Table:
+    def add_cents(t: pa.Table) -> pa.Table:
+        # integer-cent units: float SUMs are order-dependent in the last
+        # ulps (Ray partial sums vs DuckDB sequential), so the oracle
+        # compare could flip on exact hashing; per-row ROUND(x*100) is
+        # identical in both engines and int64 SUM is order-independent,
+        # making the result bit-exact
         disc_price = pc.multiply(
             t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))
         )
-        return t.append_column("disc_price", disc_price)
+        def cents(col):
+            # floor(x*100 + 0.5): explicit half-up — pyarrow's round is
+            # half-even, DuckDB's is half-away, and ~2% of disc_price
+            # values land exactly on .5; identical IEEE ops on both
+            # sides make the sums bit-exact
+            return pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)).cast(pa.int64())
+        t = t.append_column("qty_c", cents(t.column("l_quantity")))
+        t = t.append_column("base_c", cents(t.column("l_extendedprice")))
+        return t.append_column("disc_c", cents(disc_price))
 
-    ds = ds.map_batches(add_disc_price, batch_format="pyarrow")
+    ds = ds.map_batches(add_cents, batch_format="pyarrow")
     out = ops.partial_sum_agg(
         ds,
         keys=["l_returnflag", "l_linestatus"],
         sums={
-            "l_quantity": "sum_qty",
-            "l_extendedprice": "sum_base_price",
-            "disc_price": "sum_disc_price",
+            "qty_c": "sum_qty_cents",
+            "base_c": "sum_base_price_cents",
+            "disc_c": "sum_disc_price_cents",
         },
         counts="count_order",
     )
@@ -177,13 +190,15 @@ def orders_by_month(sf_dir: str):
 
     def add_month(t: pa.Table) -> pa.Table:
         m = pc.strftime(t.column("o_orderdate"), format="%Y-%m")
-        return pa.table(
-            {"month": m, "o_totalprice": t.column("o_totalprice")}
-        )
+        cents = pc.floor(
+            pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)
+        ).cast(pa.int64())
+        return pa.table({"month": m, "price_c": cents})
 
     ds = ds.map_batches(add_month, batch_format="pyarrow")
     return ops.partial_sum_agg(
-        ds, keys=["month"], sums={"o_totalprice": "total_price"}, counts="n_orders"
+        ds, keys=["month"], sums={"price_c": "total_price_cents"},
+        counts="n_orders",
     )
 
 
@@ -231,18 +246,21 @@ def events_tumbling_window(sf_dir: str):
     def add_window(t: pa.Table) -> pa.Table:
         us = t.column("ts").cast(pa.int64())
         w = pc.multiply(pc.divide(us, 600_000_000), 600_000_000)
+        cents = pc.floor(
+            pc.add(pc.multiply(t.column("value"), 100.0), 0.5)
+        ).cast(pa.int64())
         return pa.table(
             {
                 "event_type": t.column("event_type"),
                 "window_start": w.cast(pa.int64()),
-                "value": t.column("value"),
+                "value_c": cents,
             }
         )
 
     ds = ds.map_batches(add_window, batch_format="pyarrow")
     return ops.partial_sum_agg(
-        ds, keys=["event_type", "window_start"], sums={"value": "sum_value"},
-        counts="n",
+        ds, keys=["event_type", "window_start"],
+        sums={"value_c": "sum_value_cents"}, counts="n",
     )
 
 
@@ -254,9 +272,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "agg_by_returnflag": """
         SELECT l_returnflag, l_linestatus,
-               sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_base_price,
-               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS sum_base_price_cents,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                        AS BIGINT)) AS sum_disc_price_cents,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -299,14 +319,15 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "orders_by_month": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month,
-               sum(o_totalprice) AS total_price,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS total_price_cents,
                count(*) AS n_orders
         FROM orders GROUP BY 1
     """,
     "events_tumbling_window": """
         SELECT event_type,
                (epoch_us(ts) // 600000000) * 600000000 AS window_start,
-               sum(value) AS sum_value,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents,
                count(*) AS n
         FROM events GROUP BY 1, 2
     """,
