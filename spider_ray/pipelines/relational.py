@@ -173,6 +173,16 @@ def events_json_extract(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def docs_lang_filter(sf_dir: str):
+    """M6 language filter: predicate pushed into the vectorized batch
+    filter right after the column-pruned read."""
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+        batch_format="pyarrow",
+    )
+
+
 # -- A1 per-key counts -------------------------------------------------------
 
 def domain_counts_documents(sf_dir: str):
@@ -314,6 +324,9 @@ ORACLE_SQL: dict[str, str] = {
               WHERE event_type = 'signup') s
         ON e.user_id = s.user_id AND e.ts >= s.signup_ts
     """,
+    "docs_lang_filter": """
+        SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+    """,
     "domain_counts_documents": """
         SELECT source, count(*) AS n FROM documents GROUP BY source
     """,
@@ -344,6 +357,7 @@ QUERIES = {
     "nations_except_asia_region": nations_except_asia_region,
     "events_json_extract": events_json_extract,
     "events_asof_signup": events_asof_signup,
+    "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,
     "orders_by_month": orders_by_month,
     "events_tumbling_window": events_tumbling_window,
