@@ -77,15 +77,15 @@ def broadcast_join(big, small_df: pd.DataFrame, on: str, how: str = "inner"):
 
 
 def broadcast_semi_anti(big, keys: set, on: str, anti: bool = False):
-    keys_ref = ray.put(keys)
+    keys_ref = ray.put(sorted(keys))
 
     def f(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        col = t.column(on).to_pylist()
-        mask = np.fromiter((v in ks for v in col), bool, len(col))
+        col = t.column(on)
+        vs = pa.array(ray.get(keys_ref), type=col.type)
+        mask = pc.fill_null(pc.is_in(col, value_set=vs), False)
         if anti:
-            mask = ~mask
-        return t.filter(pa.array(mask))
+            mask = pc.invert(mask)
+        return t.filter(mask)
 
     return big.map_batches(f, batch_format="pyarrow")
 
@@ -100,9 +100,13 @@ def partitioned_hash_join(
     splits by tag and joins locally.  This is the scale pattern for
     joins where neither side fits a broadcast (SURVEY.md §2.4 J1
     fallback; ray_guide 'Joins and lookups').
-    """
-    import hashlib
 
+    The per-bucket join runs entirely in Arrow (``pa.Table.join``): the
+    null-padded columns of each side never mix with the other side's
+    rows, so integer columns keep their exact Arrow types (a pandas
+    round-trip here promoted null-padded ints to float64 — the round-1
+    CORRECTNESS hash failure on lineitem_join_orders).
+    """
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     left_cols = list(lschema.names)
@@ -111,20 +115,20 @@ def partitioned_hash_join(
     types = {c: lschema.field(c).type for c in left_cols}
     for c in right_cols:
         types.setdefault(c, rschema.field(c).type)
+    arrow_how = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }[how]
 
     def pad(side_cols, tag):
         def f(t: pa.Table) -> pa.Table:
             n = len(t)
-            keys = t.column(on).to_pylist()
-            bucket = np.fromiter(
-                (
-                    int.from_bytes(hashlib.sha1(str(k).encode()).digest()[:4], "big")
-                    % n_buckets
-                    for k in keys
-                ),
-                np.int32,
-                n,
-            )
+            # vectorized, process-stable bucket hash (pandas hash_array
+            # is deterministic C code — both sides agree on buckets)
+            key_np = t.column(on).to_numpy(zero_copy_only=False)
+            bucket = (pd.util.hash_array(key_np) % n_buckets).astype(np.int32)
             cols = {}
             for c in all_cols:
                 if c in side_cols:
@@ -141,14 +145,14 @@ def partitioned_hash_join(
         right.map_batches(pad(right_cols, 1), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0][left_cols]
-        r = g[g["__side"] == 1][right_cols]
-        return l.merge(r, on=on, how=how)
+    def join_bucket(g: pa.Table) -> pa.Table:
+        l = g.filter(pc.equal(g.column("__side"), 0)).select(left_cols)
+        r = g.filter(pc.equal(g.column("__side"), 1)).select(right_cols)
+        return l.join(r, keys=[on], join_type=arrow_how).select(all_cols)
 
     return (
         tagged.groupby("__bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
     )
 
 

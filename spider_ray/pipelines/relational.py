@@ -280,13 +280,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem
         WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_discount > 0.05
     """,
+    # every sum() gets an OUTER cast: DuckDB sum(BIGINT) returns HUGEINT,
+    # which fetchdf() renders as float64 and breaks the driver's
+    # dtype-sensitive value hash against the engine's int64
     "agg_by_returnflag": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents,
-               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-                   AS sum_base_price_cents,
-               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                        AS BIGINT)) AS sum_disc_price_cents,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -332,15 +336,16 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "orders_by_month": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month,
-               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                   AS total_price_cents,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_price_cents,
                count(*) AS n_orders
         FROM orders GROUP BY 1
     """,
     "events_tumbling_window": """
         SELECT event_type,
                (epoch_us(ts) // 600000000) * 600000000 AS window_start,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_cents,
                count(*) AS n
         FROM events GROUP BY 1, 2
     """,

@@ -43,13 +43,18 @@ def _duck(sql: str) -> pd.DataFrame:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Dtype-FAITHFUL normalization: sort columns and rows only.
+
+    Deliberately no int widening / float rounding — the driver's value
+    hash is dtype-sensitive (engine int64 vs oracle float64 hash
+    differently even when values are equal), and round-1's lossy
+    normalization here masked exactly that skew (4 driver reds behind a
+    green local suite).  Only timestamps are unified to us resolution,
+    which both Arrow and DuckDB use natively.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-        elif df[c].dtype.kind in "iu":
-            df[c] = df[c].astype("int64")
-        elif df[c].dtype.kind == "M":
+        if df[c].dtype.kind == "M":
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
@@ -74,8 +79,16 @@ def test_query_matches_oracle(ray_session, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    got_kinds = {c: got[c].dtype.kind for c in got.columns}
+    want_kinds = {c: want[c].dtype.kind for c in want.columns}
+    assert got_kinds == want_kinds, (
+        f"{name}: dtype-kind skew (would fail the driver's value hash): "
+        f"{got_kinds} != {want_kinds}"
+    )
+    # exact for ints/strings (the bit-exact integer-units scheme), tight
+    # approx for any remaining float columns
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                  check_exact=False, rtol=1e-5, atol=1e-6)
+                                  check_exact=False, rtol=1e-9, atol=1e-12)
 
 
 def test_all_queries_run(ray_session):
