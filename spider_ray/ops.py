@@ -107,14 +107,22 @@ def partitioned_hash_join(
     round-trip here promoted null-padded ints to float64 — the round-1
     CORRECTNESS hash failure on lineitem_join_orders).
     """
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
-    left_cols = list(lschema.names)
-    right_cols = list(rschema.names)
+    def _cols_types(ds):
+        sch = ds.schema().base_schema
+        names = list(sch.names)
+        if isinstance(sch, pa.Schema):
+            return names, {c: sch.field(c).type for c in names}
+        # pandas-block dataset: PandasBlockSchema carries numpy dtypes
+        return names, {
+            c: (t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+            for c, t in zip(names, sch.types)
+        }
+
+    left_cols, types = _cols_types(left)
+    right_cols, rtypes = _cols_types(right)
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
-    types = {c: lschema.field(c).type for c in left_cols}
     for c in right_cols:
-        types.setdefault(c, rschema.field(c).type)
+        types.setdefault(c, rtypes[c])
     arrow_how = {
         "inner": "inner",
         "left": "left outer",
@@ -163,22 +171,13 @@ def partitioned_hash_join(
 def exact_dedup(ds, keys: list[str], order_by: list[str], n_parts: int = 32):
     """Keep the first row per key group ordered by ``order_by`` —
     hash-partitioned on the key so each partition dedupes locally."""
-    import hashlib
 
     def add_part(t: pa.Table) -> pa.Table:
-        cols = [t.column(k).to_pylist() for k in keys]
-        parts = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.sha1("\x00".join(map(str, row)).encode()).digest()[:4],
-                    "big",
-                )
-                % n_parts
-                for row in zip(*cols)
-            ),
-            np.int32,
-            len(t),
-        )
+        h = np.zeros(len(t), np.uint64)
+        for k in keys:
+            col = t.column(k).to_numpy(zero_copy_only=False)
+            h = h * np.uint64(1000003) ^ pd.util.hash_array(col)
+        parts = (h % np.uint64(n_parts)).astype(np.int32)
         return t.append_column("__part", pa.array(parts))
 
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
