@@ -142,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
     invariance and property tests)."""
     from spider_ray.pipelines.ann import ANN_ORACLE_SQL
     from spider_ray.pipelines.dedup import DEDUP_ORACLE_SQL
+    from spider_ray.pipelines.multimodal import MULTIMODAL_ORACLE_SQL
     from spider_ray.pipelines.relational import ORACLE_SQL
     from spider_ray.pipelines.textstats import TEXT_ORACLE_SQL
 
@@ -150,4 +151,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(TEXT_ORACLE_SQL)
     out.update(DEDUP_ORACLE_SQL)
     out.update(ANN_ORACLE_SQL)
+    out.update(MULTIMODAL_ORACLE_SQL)
     return out

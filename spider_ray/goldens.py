@@ -1,0 +1,149 @@
+"""Independent sequential golden generators (oracle.py pattern).
+
+For pipelines whose semantics are not SQL-expressible (rolling-hash
+fingerprints, SimHash banding, the fake media decode), the driver's
+DuckDB oracle reads a PINNED parquet produced here — a from-scratch
+sequential reimplementation of the same spec, deliberately written in
+plain-Python style (no numpy vectorization, no Ray) so an engine bug
+and a golden bug are unlikely to coincide.
+
+Regenerate after a spec change with:
+
+    python -m spider_ray.goldens            # writes /root/repo/goldens/
+
+Goldens are computed from /root/testdata/sf0.01 — the fixed input of
+the driver's correctness gate.  tests/test_goldens_fresh.py recomputes
+them on the fly and fails if the committed files are stale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "goldens")
+
+_MASK = (1 << 64) - 1
+_B = 1099511628211
+_WIN = 16
+
+
+def _fingerprint_seq(data: bytes) -> int:
+    """O(n) sequential rolling hash — same spec as
+    textstats.rolling_fingerprint, independent implementation."""
+    n = len(data)
+    if n == 0:
+        return 0
+    if n <= _WIN:
+        h = 0
+        for byte in data:
+            h = (h * _B + byte) & _MASK
+        return h >> 1
+    top = pow(_B, _WIN - 1, 1 << 64)
+    h = 0
+    for byte in data[:_WIN]:
+        h = (h * _B + byte) & _MASK
+    best = h
+    for i in range(n - _WIN):
+        h = ((h - data[i] * top) * _B + data[i + _WIN]) & _MASK
+        if h < best:
+            best = h
+    return best >> 1
+
+
+def fingerprint_golden(sf_dir: str = SF_DIR) -> pa.Table:
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = sorted(zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()))
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "fingerprint": pa.array(
+            [_fingerprint_seq(x.encode("utf-8")) for _, x in rows], pa.int64()
+        ),
+    })
+
+
+def _simhash_seq(text: str) -> int:
+    counts = [0] * 64
+    for w in sorted(set(x.lower() for x in re.findall(r"\w+", text))):
+        h = int.from_bytes(hashlib.sha1(w.encode()).digest()[:8], "big")
+        for i in range(64):
+            counts[i] += 1 if (h >> (63 - i)) & 1 else -1
+    out = 0
+    for i, v in enumerate(counts):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def simhash_pairs_golden(sf_dir: str = SF_DIR, max_hamming: int = 3) -> pa.Table:
+    """ALL pairs at Hamming distance <= max_hamming.  With 4x16-bit
+    bands and max_hamming=3 the pigeonhole principle makes the engine's
+    banded LSH recover exactly this set (no fixture bucket exceeds the
+    star cap), so full all-pairs IS the expected banded output."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = sorted(zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()))
+    sigs = [(d, _simhash_seq(x)) for d, x in rows]
+    a, b, hd = [], [], []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            d = bin(sigs[i][1] ^ sigs[j][1]).count("1")
+            if d <= max_hamming:
+                a.append(sigs[i][0])
+                b.append(sigs[j][0])
+                hd.append(d)
+    return pa.table({
+        "doc_a": pa.array(a, pa.int64()),
+        "doc_b": pa.array(b, pa.int64()),
+        "hamming": pa.array(hd, pa.int64()),
+    })
+
+
+def decode_media_golden() -> pa.Table:
+    """Sequential fake-decode of the synthetic media corpus: images
+    only; feat_checksum is the integer sum of the 16 feature bytes."""
+    ids, ws, hs, cs = [], [], [], []
+    for i in range(256):
+        if i % 3 == 0:
+            continue  # audio/fake rows are filtered out by the pipeline
+        seed = hashlib.sha1(f"media{i}".encode()).digest()
+        payload = seed * (8 + i % 23)
+        digest = hashlib.sha1(payload).digest()
+        ids.append(i)
+        ws.append(64 + digest[0])
+        hs.append(64 + digest[1])
+        cs.append(sum(digest[:16]))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "feat_checksum": pa.array(cs, pa.int64()),
+    })
+
+
+GOLDENS = {
+    "fingerprint_documents": fingerprint_golden,
+    "simhash_dedup_documents": simhash_pairs_golden,
+    "decode_media_fake": decode_media_golden,
+}
+
+
+def write_all(out_dir: str = OUT_DIR) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name, fn in GOLDENS.items():
+        path = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(fn(), path)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    write_all()

@@ -94,7 +94,10 @@ def exact_dedup_documents(sf_dir: str):
     return kept.select_columns(["text_md5", "doc_id"])
 
 
-MAX_BUCKET = 64  # LSH bucket cap: larger buckets emit star pairs, not all-pairs
+# LSH bucket cap: buckets beyond this emit O(n) star pairs instead of
+# all-pairs.  1024 keeps the per-bucket vectorized verify cheap (~0.5M
+# pair ops) while defusing genuinely pathological boilerplate buckets.
+MAX_BUCKET = 1024
 
 
 def _empty_pairs(*extra: str) -> pd.DataFrame:
@@ -113,7 +116,8 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
 
 
-def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
+def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8,
+                      max_bucket: int = MAX_BUCKET):
     """MinHash+LSH near-duplicate pairs, Jaccard-verified — cluster-native.
 
     Stage 1 (map_batches): shingle + 64-perm minhash per doc, one
@@ -159,7 +163,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
         ids = np.unique(g["doc_id"].to_numpy())
         if len(ids) < 2:
             return _empty_pairs()
-        if len(ids) > MAX_BUCKET:
+        if len(ids) > max_bucket:
             a, b = np.full(len(ids) - 1, ids[0]), ids[1:]
         else:
             ia, ib = np.triu_indices(len(ids), k=1)
@@ -230,7 +234,8 @@ def simhash64(text: str) -> int:
     return out
 
 
-def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3):
+def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3,
+                            max_bucket: int = MAX_BUCKET):
     """SimHash near-dup: bucket on each of four 16-bit bands, verify
     Hamming distance within buckets (any pair within distance 3 shares
     at least one identical band by pigeonhole).
@@ -273,7 +278,7 @@ def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3):
             return _empty_pairs("hamming")
         sig = (rows["sig_hi"].to_numpy().astype(np.uint64) << np.uint64(32)) | \
             rows["sig_lo"].to_numpy().astype(np.uint64)
-        if len(ids) > MAX_BUCKET:
+        if len(ids) > max_bucket:
             ia = np.zeros(len(ids) - 1, np.intp)
             ib = np.arange(1, len(ids))
         else:
@@ -397,7 +402,8 @@ def _lsh_planes(dim: int, n_planes: int) -> np.ndarray:
 
 
 def embedding_near_dup_lsh(sf_dir: str, cosine_threshold: float = 0.8,
-                           n_planes: int = 16, n_bands: int = 4):
+                           n_planes: int = 16, n_bands: int = 4,
+                           max_bucket: int = MAX_BUCKET):
     """Approximate (LSH) embedding near-dup — the 100 TB path.
 
     Sign bits under 16 deterministic hyperplanes, banded 4x4: vectors
@@ -437,7 +443,7 @@ def embedding_near_dup_lsh(sf_dir: str, cosine_threshold: float = 0.8,
                                  "cosine_e4": pd.Series([], dtype="int64")})
         mat = np.stack([np.frombuffer(x, np.float64) for x in rows["emb"]])
         nrm = np.linalg.norm(mat, axis=1)
-        if len(ids) > MAX_BUCKET:
+        if len(ids) > max_bucket:
             ia = np.zeros(len(ids) - 1, np.intp)
             ib = np.arange(1, len(ids))
         else:
@@ -495,6 +501,14 @@ DEDUP_ORACLE_SQL = {
         WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
               / greatest(1, len(list_distinct(
                     list_concat(a.grams, b.grams)))) >= 0.8
+    """,
+    # pinned golden: sequential all-pairs SimHash from
+    # spider_ray/goldens.py (pigeonhole makes banded LSH == all-pairs
+    # at max_hamming=3 on this fixture); regenerate with
+    # `python -m spider_ray.goldens`
+    "simhash_dedup_documents": """
+        SELECT doc_a, doc_b, hamming
+        FROM read_parquet('/root/repo/goldens/simhash_dedup_documents.parquet')
     """,
     "embedding_near_dup": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -123,6 +123,40 @@ def decode_media_pipeline(sf_dir: str | None = None):
     )
 
 
+def decode_media_fake_query(sf_dir: str | None = None):
+    """Harness twin of decode_media_pipeline: the float32 feature
+    vector is reduced to an integer checksum (sum of the 16 feature
+    bytes) so the driver's value-hash compare has no float-list column
+    to trip on; the pinned golden (spider_ray/goldens.py) computes the
+    same checksum sequentially."""
+    ds = decode_media_pipeline(sf_dir)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        feats = t.column("feature").to_pylist()
+        cs = [
+            int(np.rint(np.asarray(f, np.float64) * 255.0).sum())
+            for f in feats
+        ]
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "width": t.column("width"),
+                "height": t.column("height"),
+                "feat_checksum": pa.array(cs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+MULTIMODAL_ORACLE_SQL = {
+    "decode_media_fake": """
+        SELECT media_id, width, height, feat_checksum
+        FROM read_parquet('/root/repo/goldens/decode_media_fake.parquet')
+    """,
+}
+
 MULTIMODAL_QUERIES = {
-    "decode_media_fake": decode_media_pipeline,
+    "decode_media_fake": decode_media_fake_query,
+    "decode_media_features": decode_media_pipeline,
 }

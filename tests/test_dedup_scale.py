@@ -12,13 +12,13 @@ import pyarrow.parquet as pq
 import pytest
 
 from spider_ray.pipelines.dedup import (
-    MAX_BUCKET,
     embedding_near_dup_lsh,
     minhash_lsh_pairs,
     simhash_dedup_documents,
 )
 
-N_HOT = 200  # identical docs — one LSH bucket far above MAX_BUCKET
+N_HOT = 200   # identical docs — one LSH bucket far above the test cap
+TEST_CAP = 64  # explicit max_bucket so the star-cap path is exercised
 
 
 @pytest.fixture(scope="module")
@@ -40,7 +40,7 @@ def hot_bucket_dir(tmp_path_factory):
 
 
 def test_minhash_hot_bucket_star_cap(ray_session, hot_bucket_dir):
-    out = minhash_lsh_pairs(hot_bucket_dir).to_pandas()
+    out = minhash_lsh_pairs(hot_bucket_dir, max_bucket=TEST_CAP).to_pandas()
     # star cap: the identical cluster yields N-1 hub edges, not C(N,2)
     assert len(out) == N_HOT - 1
     assert (out["jaccard_e6"] == 1_000_000).all()
@@ -50,12 +50,13 @@ def test_minhash_hot_bucket_star_cap(ray_session, hot_bucket_dir):
 
 
 def test_simhash_hot_bucket_star_cap(ray_session, hot_bucket_dir):
-    out = simhash_dedup_documents(hot_bucket_dir).to_pandas()
+    out = simhash_dedup_documents(hot_bucket_dir,
+                                  max_bucket=TEST_CAP).to_pandas()
     ident = out[(out["doc_a"] == 0) & (out["doc_b"] < N_HOT)]
     assert len(ident) == N_HOT - 1
     assert (ident["hamming"] == 0).all()
     # no quadratic blow-up from the hot bucket
-    assert len(out) < N_HOT + MAX_BUCKET
+    assert len(out) < N_HOT + TEST_CAP
 
 
 @pytest.fixture(scope="module")
