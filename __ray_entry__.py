@@ -58,9 +58,13 @@ def _ensure_worker_importable() -> None:
 
 
 def _ensure_micro_fixture(path: str = _ENTRY_FIXTURE) -> str:
+    import shutil
+
     from spider_ray.fixtures.gen import generate
 
-    if not os.path.exists(os.path.join(path, "config.json")):
+    # pages_v2 is the newest artifact — its absence means a stale cache
+    if not os.path.exists(os.path.join(path, "pages_v2.parquet")):
+        shutil.rmtree(path, ignore_errors=True)
         generate("micro", path)
     return path
 
@@ -113,6 +117,31 @@ def _crawl_flagship(sf_dir: str) -> Any:
     return pa.concat_tables([pq.read_table(f) for f in files])
 
 
+def _crawl_revisit(sf_dir: str) -> Any:
+    """Change-detection diff table of one re-visit pass over the
+    drifted corpus (pages_v2) after a 4-round micro crawl (rows-only
+    check — the sequential oracle twin is OracleCrawl.run_revisit,
+    exercised exactly in tests/test_crawl_revisit.py)."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _ensure_worker_importable()
+    fixture = _ensure_micro_fixture()
+    ckpt = "/tmp/spider_ray_entry/ckpt_rv"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    from spider_ray.crawl.driver import CrawlDriver
+
+    drv = CrawlDriver(fixture, ckpt)
+    drv.run(max_rounds=4)
+    drv.run_revisit()
+    drv.close()
+    files = sorted(glob.glob(os.path.join(ckpt, "round=*", "revisit", "*.parquet")))
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2
     plus the training-data pipelines (dedup, ANN, text analysis,
@@ -131,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(ANN_QUERIES)
     out.update(MULTIMODAL_QUERIES)
     out["crawl_flagship"] = _crawl_flagship
+    out["crawl_revisit"] = _crawl_revisit
     return out
 
 

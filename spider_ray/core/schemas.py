@@ -64,6 +64,31 @@ CRAWL_ORDER = pa.schema(
 
 SEEN = pa.schema([("url_hash64", pa.uint64()), ("url", pa.string())])
 
+# per-round page store (M9 checksum consumer): what the re-visit
+# scheduler reads to find stale pages and diff content
+PAGESTATE = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_hash64", pa.uint64()),
+        ("domain", pa.string()),
+        ("seq", pa.int64()),
+        ("round", pa.int32()),
+        ("checksum", pa.string()),
+    ]
+)
+
+# revisit output: one row per re-fetched page with the checksum diff
+REVISIT = pa.schema(
+    [
+        ("url", pa.string()),
+        ("domain", pa.string()),
+        ("old_checksum", pa.string()),
+        ("new_checksum", pa.string()),
+        ("changed", pa.bool_()),
+        ("round", pa.int32()),
+    ]
+)
+
 DOMAINS = pa.schema(
     [
         ("domain", pa.string()),

@@ -24,6 +24,10 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=None, help="seen-set shards")
     ap.add_argument("--no-exact-seen", action="store_true",
                     help="disable the exact-set sidecar (production mode)")
+    ap.add_argument("--revisit", type=int, default=0, metavar="N",
+                    help="run N re-visit passes (change detection against "
+                         "pages_v2.parquet) after the crawl completes")
+    ap.add_argument("--revisit-interval", type=int, default=1)
     args = ap.parse_args()
 
     import ray
@@ -48,6 +52,9 @@ def main() -> None:
             args.fixture, args.ckpt, cfg, exact_seen=not args.no_exact_seen
         )
         metrics = drv.run(max_rounds=args.rounds)
+        for _ in range(args.revisit):
+            rm = drv.run_revisit(interval=args.revisit_interval)
+            print(json.dumps({"revisit": rm}, indent=1, sort_keys=True))
         total = {
             k: sum(m[k] for m in metrics)
             for k in (metrics[0] if metrics else {})

@@ -36,7 +36,9 @@ from spider_ray.core.config import CrawlConfig, load_crawl_config, load_seed_url
 from spider_ray.core.hashing import hash_url_batch
 from spider_ray.core.regdomain import registrable_domain
 from spider_ray.core.scope import split_host_pq
-from spider_ray.core.schemas import CRAWL_ORDER, DOMAINS, EXTRACTED, FRONTIER
+from spider_ray.core.schemas import (
+    CRAWL_ORDER, DOMAINS, EXTRACTED, FRONTIER, PAGESTATE, REVISIT,
+)
 from spider_ray.crawl import stages
 from spider_ray.crawl.stages import domain_bucket as _domain_bucket
 from spider_ray.crawl.state import CuckooShard, DomainGate, gate_shard
@@ -164,12 +166,15 @@ class CrawlDriver:
     def prepare_pages(self) -> None:
         """Hash-bucket the pages corpus by url once (amortized across
         every round's fetch; at 100 TB this is the single full pass)."""
-        if os.path.isdir(self.pages_dir) and os.listdir(self.pages_dir):
+        self._bucket_corpus("pages.parquet", self.pages_dir)
+
+    def _bucket_corpus(self, pages_file: str, dest_dir: str) -> None:
+        if os.path.isdir(dest_dir) and os.listdir(dest_dir):
             return
-        tmp = self.pages_dir + ".tmp"
+        tmp = dest_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         pages = ray.data.read_parquet(
-            os.path.join(self.fixture_dir, "pages.parquet"),
+            os.path.join(self.fixture_dir, pages_file),
             columns=["url", "html", "lang"],
         )
         nb = self.fetch_buckets
@@ -219,7 +224,7 @@ class CrawlDriver:
             .map_groups(sort_write_bucket, batch_format="pyarrow")
             .materialize()
         )
-        os.rename(tmp, self.pages_dir)
+        os.rename(tmp, dest_dir)
 
     def init_round0(self) -> None:
         seeds = load_seed_urls(self.fixture_dir)
@@ -494,11 +499,18 @@ class CrawlDriver:
             for key in stages._COUNTER_KEYS:
                 m[key] = sums[key]
 
-            # execution 10 — extracted-text output
-            extracted_ds = _filter_eq(ex, "found", 1).map_batches(
+            # execution 10 — extracted-text output + page store (M9
+            # checksums; consumed by run_revisit's staleness scan)
+            hits = _filter_eq(ex, "found", 1)
+            extracted_ds = hits.map_batches(
                 partial(_extracted_project, round_no=k), batch_format="pyarrow"
             )
             _write_ds(extracted_ds, os.path.join(tmp, "out"), EXTRACTED,
+                      m["fetched"])
+            pagestate_ds = hits.map_batches(
+                partial(_pagestate_project, round_no=k), batch_format="pyarrow"
+            )
+            _write_ds(pagestate_ds, os.path.join(tmp, "pagestate"), PAGESTATE,
                       m["fetched"])
 
             # execution 11 — children pass: explode -> dedupe -> seen check
@@ -548,6 +560,7 @@ class CrawlDriver:
         else:
             _write_ds(None, os.path.join(tmp, "order"), CRAWL_ORDER, 0)
             _write_ds(None, os.path.join(tmp, "out"), EXTRACTED, 0)
+            _write_ds(None, os.path.join(tmp, "pagestate"), PAGESTATE, 0)
 
         # final execution — next frontier = deferred ∪ unseen children (D1);
         # row count derived from metrics, no extra count pass
@@ -599,6 +612,166 @@ class CrawlDriver:
             k += 1
         return self.metrics
 
+    # -- re-visit / change detection (reference lifecycle §3.1 step 3) ----
+    def run_revisit(self, pages_file: str = "pages_v2.parquet",
+                    interval: int = 1) -> dict:
+        """One re-visit pass over the page store — the same pinned
+        semantics as OracleCrawl.run_revisit, distributed:
+
+          1. pagestate from every round, latest row per url (one
+             hash-partitioned dedup shuffle);
+          2. staleness filter (last_round <= k - interval) and
+             per-domain politeness budget (sort by (last_round, seq,
+             url), head(budget) inside a per-domain map_groups — the
+             output is budget-bounded);
+          3. bucketed re-fetch against the CURRENT corpus version
+             (pages_file, bucketed once into its own layout) and the
+             regular extract stage (which computes the M9 checksum);
+          4. checksum diff -> revisit/ (all re-fetched rows), out/
+             (re-extracted text of CHANGED pages), pagestate/ (updated
+             rows), all in a new atomically-renamed round dir.
+        """
+        from spider_ray.oracle import REVISIT_METRIC_KEYS
+
+        t0 = time.monotonic()
+        cfg_ref = self.cfg_ref
+        stem = os.path.splitext(pages_file)[0]
+        v2_dir = os.path.join(self.ckpt_dir, f"{stem}_bucketed")
+        self._bucket_corpus(pages_file, v2_dir)
+        last = self.latest_round()
+        if last is None:
+            raise RuntimeError("run_revisit requires a completed crawl")
+        k = last + 1
+        cutoff = k - interval
+        m = {key: 0 for key in REVISIT_METRIC_KEYS}
+        tmp = _round_dir(self.ckpt_dir, k) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+
+        import glob as _glob
+
+        ps_dirs = [
+            os.path.join(_round_dir(self.ckpt_dir, r), "pagestate")
+            for r in range(1, k)
+            if os.path.isdir(os.path.join(_round_dir(self.ckpt_dir, r), "pagestate"))
+        ]
+        ps_files = sorted(
+            f for d in ps_dirs for f in _glob.glob(os.path.join(d, "*.parquet"))
+        )
+        ps = ray.data.read_parquet(ps_files)
+
+        # latest state per url: one dedup shuffle keyed on the url hash
+        def add_neg(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "neg_round", pc.multiply(t.column("round").cast(pa.int64()), -1)
+            )
+
+        from spider_ray import ops as _ops
+
+        latest = _ops.exact_dedup(
+            ps.map_batches(add_neg, batch_format="pyarrow"),
+            keys=["url"], order_by=["neg_round"], n_parts=self.dedup_parts,
+        ).materialize()
+        m["revisit_known"] = latest.count()
+
+        stale = latest.map_batches(
+            lambda t, c=cutoff: t.filter(
+                pc.less_equal(t.column("round"), c)).drop_columns(["neg_round"]),
+            batch_format="pyarrow",
+        ).materialize()
+        m["revisit_stale"] = stale.count()
+
+        sel = None
+        if m["revisit_stale"]:
+            sel = (
+                stale.groupby("domain")
+                .map_groups(
+                    partial(stages.revisit_select_group, cfg_ref=cfg_ref),
+                    batch_format="pandas",
+                )
+                .materialize()
+            )
+            m["revisit_selected"] = sel.count()
+        m["revisit_deferred"] = m["revisit_stale"] - m["revisit_selected"]
+
+        if m["revisit_selected"]:
+            n_fetch_tasks = min(
+                self.fetch_buckets, max(8, m["revisit_selected"] // 500 + 1)
+            )
+            ex = (
+                sel.repartition(n_fetch_tasks)
+                .map_batches(
+                    partial(stages.add_fetch_bucket, n_buckets=self.fetch_buckets),
+                    batch_format="pyarrow",
+                )
+                .groupby("bucket")
+                .map_groups(
+                    partial(stages.fetch_group, pages_dir=v2_dir),
+                    batch_format="pyarrow",
+                )
+                .map_batches(
+                    partial(stages.extract_batch, cfg_ref=cfg_ref),
+                    batch_format="pyarrow",
+                    batch_size=self.extract_batch_size,
+                )
+                .map_batches(
+                    partial(stages.revisit_diff, round_no=k),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            sums = _col_sums(ex, ["found", "is_changed"])
+            m["revisit_fetched"] = sums["found"]
+            m["revisit_errors"] = m["revisit_selected"] - m["revisit_fetched"]
+            m["revisit_changed"] = sums["is_changed"]
+            m["revisit_unchanged"] = m["revisit_fetched"] - m["revisit_changed"]
+
+            revisit_ds = ex.map_batches(
+                partial(_revisit_project, round_no=k), batch_format="pyarrow"
+            )
+            _write_ds(revisit_ds, os.path.join(tmp, "revisit"), REVISIT,
+                      m["revisit_selected"])
+            changed_ds = _filter_eq(ex, "is_changed", 1).map_batches(
+                partial(_extracted_project, round_no=k), batch_format="pyarrow"
+            )
+            _write_ds(changed_ds, os.path.join(tmp, "out"), EXTRACTED,
+                      m["revisit_changed"])
+            new_state = _filter_eq(ex, "found", 1).map_batches(
+                partial(_pagestate_project, round_no=k), batch_format="pyarrow"
+            )
+            _write_ds(new_state, os.path.join(tmp, "pagestate"), PAGESTATE,
+                      m["revisit_fetched"])
+        else:
+            _write_ds(None, os.path.join(tmp, "revisit"), REVISIT, 0)
+            _write_ds(None, os.path.join(tmp, "out"), EXTRACTED, 0)
+            _write_ds(None, os.path.join(tmp, "pagestate"), PAGESTATE, 0)
+        _write_ds(None, os.path.join(tmp, "order"), CRAWL_ORDER, 0)
+        _write_ds(None, os.path.join(tmp, "frontier"), FRONTIER, 0)
+
+        self._snapshot_state(tmp, k)
+        m["wall_s"] = round(time.monotonic() - t0, 3)
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "schema_version": SCHEMA_VERSION,
+                    "round": k,
+                    "revisit": True,
+                    "config_hash": self.cfg.config_hash(),
+                    "metrics": {**m, "enqueued": 0},
+                    "lineage": {
+                        "input": ps_dirs,
+                        "outputs": sorted(os.listdir(tmp)),
+                    },
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        final_dir = _round_dir(self.ckpt_dir, k)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.rename(tmp, final_dir)
+        return m
+
     def close(self) -> None:
         """Kill the state actors.  Call when done with a driver whose
         checkpoints you no longer need live (tests, bench loops); a
@@ -634,4 +807,34 @@ def _extracted_project(t: pa.Table, round_no: int) -> pa.Table:
             "seq": t.column("seq"),
         },
         schema=EXTRACTED,
+    )
+
+
+def _revisit_project(t: pa.Table, round_no: int) -> pa.Table:
+    n = len(t)
+    return pa.table(
+        {
+            "url": t.column("url"),
+            "domain": t.column("domain"),
+            "old_checksum": t.column("old_checksum"),
+            "new_checksum": t.column("checksum"),
+            "changed": pc.cast(pc.equal(t.column("is_changed"), 1), pa.bool_()),
+            "round": pa.array([round_no] * n, pa.int32()),
+        },
+        schema=REVISIT,
+    )
+
+
+def _pagestate_project(t: pa.Table, round_no: int) -> pa.Table:
+    n = len(t)
+    return pa.table(
+        {
+            "url": t.column("url"),
+            "url_hash64": t.column("url_hash64"),
+            "domain": t.column("domain"),
+            "seq": t.column("seq"),
+            "round": pa.array([round_no] * n, pa.int32()),
+            "checksum": t.column("checksum"),
+        },
+        schema=PAGESTATE,
     )

@@ -390,11 +390,14 @@ def extract_batch(batch: pa.Table, cfg_ref) -> pa.Table:
     shared kept_links kernel then assigns first-occurrence positions so
     engine and oracle agree on every child's (link_index, seq).  Rows
     with found == 0 (fetch misses) pass through with empty text/links."""
+    import hashlib
+
     cfg = get_cfg(cfg_ref)
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
     found = batch.column("found").to_numpy(zero_copy_only=False)
     n = len(urls)
+    checksums: list[str] = [""] * n
     texts: list[str] = [""] * n
     link_urls: list[list[str]] = [[] for _ in range(n)]
     link_hosts: list[list[str]] = [[] for _ in range(n)]
@@ -405,6 +408,9 @@ def extract_batch(batch: pa.Table, cfg_ref) -> pa.Table:
     for i in range(n):
         if not found[i]:
             continue
+        # M9 content checksum — consumed by the re-visit scheduler
+        # (driver.run_revisit) to detect changed pages
+        checksums[i] = hashlib.sha1(htmls[i]).hexdigest()
         text, hrefs = extract_text_and_links(htmls[i])
         texts[i] = text
         raw_counts[i] = len(hrefs)
@@ -417,6 +423,7 @@ def extract_batch(batch: pa.Table, cfg_ref) -> pa.Table:
         for k in _COUNTER_KEYS:
             counters[k][i] = c.get(k, 0)
     out = batch.drop_columns(["html"])
+    out = out.append_column("checksum", pa.array(checksums, pa.string()))
     out = out.append_column("text", pa.array(texts, pa.string()))
     out = out.append_column("link_url", pa.array(link_urls, pa.list_(pa.string())))
     out = out.append_column("link_host", pa.array(link_hosts, pa.list_(pa.string())))
@@ -476,6 +483,39 @@ def explode_children(
             "status": pa.array(status, pa.int8()),
             "dedup_part": pa.array((h64 % np.uint64(n_parts)).astype(np.int32)),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# re-visit pass kernels (driver.run_revisit; oracle.run_revisit twin)
+# ---------------------------------------------------------------------------
+
+def revisit_select_group(group: pd.DataFrame, cfg_ref) -> pd.DataFrame:
+    """Per-domain politeness budget over stale pages: oldest first by
+    the pinned key (last_round, seq, url), first budget(domain) rows
+    selected; the old checksum is renamed so the extract stage's fresh
+    checksum column doesn't collide."""
+    cfg = get_cfg(cfg_ref)
+    b = cfg.budget(group["domain"].iloc[0])
+    g = group.sort_values(["round", "seq", "url"], kind="mergesort").head(b)
+    return g.rename(columns={"checksum": "old_checksum"}).drop(
+        columns=["round"]
+    )
+
+
+def revisit_diff(batch: pa.Table, round_no: int) -> pa.Table:
+    """Checksum diff after re-fetch+extract: is_changed = fetched and
+    sha1 differs from the stored one (a fetch miss keeps old state and
+    counts as revisit_error, never as a change)."""
+    found = batch.column("found").to_numpy(zero_copy_only=False)
+    old = batch.column("old_checksum").to_pylist()
+    new = batch.column("checksum").to_pylist()
+    changed = np.fromiter(
+        (bool(f) and o != c for f, o, c in zip(found, old, new)),
+        bool, len(old),
+    )
+    return batch.append_column(
+        "is_changed", pa.array(changed.astype(np.int8), pa.int8())
     )
 
 

@@ -209,6 +209,37 @@ def generate(scale: str, outdir: str, processes: int | None = None) -> None:
     pq.write_table(pages, os.path.join(outdir, "pages.parquet"),
                    row_group_size=rg)
 
+    # ---- pages_v2: the corpus one re-visit interval later ---------------
+    # every third page (by url hash) changed: a deterministic paragraph
+    # appended before </body>, text re-extracted; warc_ts advanced one
+    # day.  Correctness scales only — benchfat never exercises revisit
+    # and re-extracting 100k fat pages would dominate generation time.
+    if words[1] <= 500:
+        v2_htmls, v2_texts, v2_ts = [], [], []
+        for u, h, t, ts0 in zip(urls, htmls, texts, ts):
+            if _h(u + "#rev") % 3 == 0:
+                marker = f"<p>updated rev {_h(u + '#rev2') % 1000}</p></body>"
+                h2 = h.replace(b"</body>", marker.encode(), 1)
+                v2_htmls.append(h2)
+                v2_texts.append(extract_text(h2))
+                v2_ts.append(ts0 + 86_400_000_000)
+            else:
+                v2_htmls.append(h)
+                v2_texts.append(t)
+                v2_ts.append(ts0)
+        pages_v2 = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(v2_ts, pa.timestamp("us")),
+                "html": pa.array(v2_htmls, pa.binary()),
+                "text": pa.array(v2_texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            },
+            schema=PAGES,
+        )
+        pq.write_table(pages_v2, os.path.join(outdir, "pages_v2.parquet"),
+                       row_group_size=rg)
+
     # ---- seeds ----------------------------------------------------------
     stride = max(1, d // n_seeds)
     seed_domains = list(range(0, d, stride))[:n_seeds]

@@ -48,7 +48,7 @@ from spider_ray.core.extract import extract_text_and_links
 from spider_ray.core.hashing import url_hash_fp
 from spider_ray.core.links import kept_links
 from spider_ray.core.regdomain import registrable_domain
-from spider_ray.core.schemas import CRAWL_ORDER, EXTRACTED, SEEN
+from spider_ray.core.schemas import CRAWL_ORDER, EXTRACTED, PAGESTATE, REVISIT, SEEN
 from spider_ray.core.scope import is_excluded, split_host_pq
 from spider_ray.core.seqs import child_seq
 from spider_ray.core.canon import canonicalize
@@ -60,6 +60,12 @@ METRIC_KEYS = [
     "links_out_of_scope", "links_excluded", "links_dup_in_page",
     "links_overflow", "links_out", "links_depth_dropped", "links_dedup",
     "links_seen", "enqueued",
+]
+
+REVISIT_METRIC_KEYS = [
+    "revisit_known", "revisit_stale", "revisit_selected", "revisit_deferred",
+    "revisit_fetched", "revisit_errors", "revisit_changed",
+    "revisit_unchanged",
 ]
 
 
@@ -118,6 +124,11 @@ class OracleCrawl:
         self.crawl_order: list[tuple] = []  # (seq, round, depth, domain, url)
         self.extracted: list[tuple] = []  # (url, text, lang, round, seq)
         self.metrics: list[dict] = []
+        # url -> (url_hash64, domain, seq, last_round, checksum) — the
+        # page store the re-visit scheduler consumes (reference §3.1.3)
+        self.page_state: dict[str, tuple] = {}
+        self.revisit_rows: list[tuple] = []  # REVISIT schema rows
+        self.revisit_metrics: list[dict] = []
 
     # -- one round ------------------------------------------------------
     def run_round(self, round_no: int) -> bool:
@@ -204,6 +215,12 @@ class OracleCrawl:
             m["parsed"] += 1
             m["links_raw"] += len(hrefs)
             self.extracted.append((leg.url, text, lang, round_no, leg.seq))
+            import hashlib as _hl
+
+            self.page_state[leg.url] = (
+                leg.url_hash64, leg.domain, leg.seq, round_no,
+                _hl.sha1(html).hexdigest(),
+            )
             for cu, host, domain, j in kept_links(leg.url, hrefs, cfg, m):
                 h64, fp = url_hash_fp(cu)
                 children.append(
@@ -244,6 +261,79 @@ class OracleCrawl:
             round_no += 1
             if not more:
                 break
+
+    # -- re-visit / change detection (reference lifecycle §3.1 step 3) --
+    def run_revisit(self, pages_file: str = "pages_v2.parquet",
+                    interval: int = 1) -> dict:
+        """One re-visit pass at round R+1 (pinned spec, mirrored by
+        driver.run_revisit):
+
+          1. stale = known pages whose last_round <= (R+1) - interval;
+          2. per-domain politeness budget: order stale by (last_round,
+             seq, url), re-fetch the first budget(domain); the rest
+             stay stale for the next pass (revisit_deferred);
+          3. re-fetch from the CURRENT corpus version (pages_file);
+             miss => revisit_error, state unchanged;
+          4. checksum diff: changed pages emit re-extracted text and
+             every re-fetched page updates its page-store row.
+        """
+        import hashlib as _hl
+
+        k = len(self.metrics) + len(self.revisit_metrics) + 1
+        cutoff = k - interval
+        m = {key: 0 for key in REVISIT_METRIC_KEYS}
+        m["revisit_known"] = len(self.page_state)
+
+        path = os.path.join(self._fixture_dir, pages_file)
+        pages2 = pq.read_table(path, columns=["url", "html", "text", "lang"])
+        corpus = {
+            u: (h, t, l)
+            for u, h, t, l in zip(
+                pages2.column("url").to_pylist(),
+                pages2.column("html").to_pylist(),
+                pages2.column("text").to_pylist(),
+                pages2.column("lang").to_pylist(),
+            )
+        }
+
+        stale = [
+            (url, *st) for url, st in self.page_state.items() if st[3] <= cutoff
+        ]  # (url, h64, domain, seq, last_round, checksum)
+        m["revisit_stale"] = len(stale)
+        by_domain: dict[str, list] = {}
+        for row in stale:
+            by_domain.setdefault(row[2], []).append(row)
+        selected = []
+        for domain, rows in by_domain.items():
+            rows.sort(key=lambda r: (r[4], r[3], r[0]))  # (last_round, seq, url)
+            b = self.cfg.budget(domain)
+            selected.extend(rows[:b])
+            m["revisit_deferred"] += max(0, len(rows) - b)
+        m["revisit_selected"] = len(selected)
+
+        for url, h64, domain, seq, _last, old_sum in sorted(
+            selected, key=lambda r: (r[2], r[0])
+        ):
+            hit = corpus.get(url)
+            if hit is None:
+                m["revisit_errors"] += 1
+                self.revisit_rows.append((url, domain, old_sum, "", False, k))
+                continue
+            html, text_col, lang = hit
+            m["revisit_fetched"] += 1
+            new_sum = _hl.sha1(html).hexdigest()
+            changed = new_sum != old_sum
+            self.revisit_rows.append((url, domain, old_sum, new_sum, changed, k))
+            if changed:
+                m["revisit_changed"] += 1
+                text, _ = extract_text_and_links(html)
+                assert text == text_col, f"extractor drift for {url}"
+                self.extracted.append((url, text, lang, k, seq))
+            else:
+                m["revisit_unchanged"] += 1
+            self.page_state[url] = (h64, domain, seq, k, new_sum)
+        self.revisit_metrics.append(m)
+        return m
 
     # -- golden output --------------------------------------------------
     def write_golden(self, outdir: str) -> None:
@@ -289,6 +379,39 @@ class OracleCrawl:
         )
         with open(os.path.join(outdir, "metrics.json"), "w") as f:
             json.dump(self.metrics, f, indent=1, sort_keys=True)
+        ps = sorted(self.page_state.items())
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([u for u, _ in ps], pa.string()),
+                    "url_hash64": pa.array([s[0] for _, s in ps], pa.uint64()),
+                    "domain": pa.array([s[1] for _, s in ps], pa.string()),
+                    "seq": pa.array([s[2] for _, s in ps], pa.int64()),
+                    "round": pa.array([s[3] for _, s in ps], pa.int32()),
+                    "checksum": pa.array([s[4] for _, s in ps], pa.string()),
+                },
+                schema=PAGESTATE,
+            ),
+            os.path.join(outdir, "pagestate.parquet"),
+        )
+        if self.revisit_rows:
+            rv = self.revisit_rows
+            pq.write_table(
+                pa.table(
+                    {
+                        "url": pa.array([r[0] for r in rv], pa.string()),
+                        "domain": pa.array([r[1] for r in rv], pa.string()),
+                        "old_checksum": pa.array([r[2] for r in rv], pa.string()),
+                        "new_checksum": pa.array([r[3] for r in rv], pa.string()),
+                        "changed": pa.array([r[4] for r in rv], pa.bool_()),
+                        "round": pa.array([r[5] for r in rv], pa.int32()),
+                    },
+                    schema=REVISIT,
+                ),
+                os.path.join(outdir, "revisit.parquet"),
+            )
+            with open(os.path.join(outdir, "revisit_metrics.json"), "w") as f:
+                json.dump(self.revisit_metrics, f, indent=1, sort_keys=True)
 
 
 def main() -> None:
@@ -298,9 +421,13 @@ def main() -> None:
     ap.add_argument("fixture_dir")
     ap.add_argument("--out", default=None, help="default: <fixture_dir>/golden")
     ap.add_argument("--max-rounds", type=int, default=100)
+    ap.add_argument("--revisit", type=int, default=0,
+                    help="run N re-visit passes after the crawl")
     args = ap.parse_args()
     sim = OracleCrawl(args.fixture_dir)
     sim.run(args.max_rounds)
+    for _ in range(args.revisit):
+        sim.run_revisit()
     sim.write_golden(args.out or os.path.join(args.fixture_dir, "golden"))
     total = {k: sum(m[k] for m in sim.metrics) for k in METRIC_KEYS}
     print(json.dumps({"rounds": len(sim.metrics), **total}, indent=1))
