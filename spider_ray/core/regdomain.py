@@ -1,12 +1,17 @@
 """Registrable-domain extraction — SURVEY.md Appendix A.3.
 
-Heuristic: the registrable domain is the last two labels of the host,
-except when the last two labels form a known two-level public suffix
-(e.g. ``co.uk``), in which case it is the last three.  A full Public
-Suffix List is the documented v2 upgrade; fixture hosts all live under
-``*.example`` so the heuristic is exact on every test input.
+Two backends behind one interface:
 
-IP literals and single-label hosts are returned unchanged.
+- default: the pinned two-level heuristic (last two labels, or three
+  when the last two form a known two-level suffix).  Fixture goldens
+  are pinned to it; fixture hosts all live under ``*.example`` where
+  both backends agree.
+- ``use_psl()``: the full Public Suffix List algorithm
+  (``spider_ray.core.psl`` — wildcard/exception rules, private-section
+  suffixes like ``blogspot.com``), with an optional path to a verbatim
+  ``public_suffix_list.dat`` for real-web deployments.
+
+IP literals and single-label hosts are returned unchanged either way.
 """
 
 from __future__ import annotations
@@ -29,8 +34,33 @@ _TWO_LEVEL_SUFFIXES = frozenset(
 )
 
 
+# Active PSL backend; None = pinned heuristic.  A plain module global
+# (never lru_cache — see the cloudpickle by-value constraint) that
+# serializes into worker closures with whatever mode was set at driver
+# pipeline-build time, so engine and oracle stay in lockstep.
+_psl = None
+
+
+def use_psl(dat_path: str | None = None) -> None:
+    """Switch A.3 to the full PSL algorithm — the built-in snapshot, or
+    a verbatim ``public_suffix_list.dat`` when ``dat_path`` is given."""
+    global _psl
+    from spider_ray.core.psl import PublicSuffixList
+
+    _psl = (PublicSuffixList.from_file(dat_path) if dat_path
+            else PublicSuffixList.snapshot())
+
+
+def use_heuristic() -> None:
+    """Back to the pinned two-level heuristic (fixture-golden mode)."""
+    global _psl
+    _psl = None
+
+
 def registrable_domain(host: str) -> str:
     """Registrable domain for ``host`` (already lowercase per A.1)."""
+    if _psl is not None:
+        return _psl.registrable_domain(host)
     labels = host.split(".")
     if len(labels) <= 2:
         return host

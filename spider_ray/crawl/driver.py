@@ -46,6 +46,17 @@ from spider_ray.oracle import METRIC_KEYS
 
 SCHEMA_VERSION = 1
 
+_TRACE = os.environ.get("SPIDER_TRACE", "") == "1"
+
+
+def _mark(label: str, t_prev: float) -> float:
+    """SPIDER_TRACE=1 prints per-execution wall segments of the round
+    loop — the profiling hook behind BENCH tuning."""
+    now = time.monotonic()
+    if _TRACE:
+        print(f"[trace] {label}: {now - t_prev:6.2f}s", flush=True)
+    return now
+
 
 def _round_dir(ckpt: str, k: int) -> str:
     return os.path.join(ckpt, f"round={k:04d}")
@@ -364,6 +375,7 @@ class CrawlDriver:
             .materialize()
         )
         m["candidates"] = cands.count()
+        tt = _mark("e1 candidates", t0)
 
         # execution 2 — status histogram -> scope/dedupe/seen/robots metrics
         sc = {int(k): v for k, v in _value_counts(cands, "status").items()}
@@ -373,6 +385,7 @@ class CrawlDriver:
         m["dedup_seen"] = sc.get(stages.ST_SEEN, 0)
         m["robots_denied"] = sc.get(stages.ST_ROBOTS, 0)
         eligible_count = sc.get(stages.ST_OK, 0)
+        tt = _mark("e2 status-hist", tt)
 
         sel_full = None
         ktake: dict[str, int] = {}
@@ -391,6 +404,7 @@ class CrawlDriver:
                 )
                 .materialize()
             )
+            tt = _mark("e3 select-A", tt)
             # execution 4 — selection phase B: per-domain merge of local
             # winners -> slice->count dict (tiny), broadcast back.  Local
             # winners are budget-bounded (<= S*B per domain); below the
@@ -437,6 +451,7 @@ class CrawlDriver:
                 .materialize()
             )
             ray.get([s.commit_pending.remote() for s in self.shards])
+            tt = _mark("e4-5 select-B+finalize", tt)
         m["selected"] = sum(ktake.values())
         m["budget_deferred"] = eligible_count - m["selected"]
 
@@ -454,6 +469,7 @@ class CrawlDriver:
             ).sort(["depth", "domain", "seq", "url"])
             _write_ds(order_ds, os.path.join(tmp, "order"), CRAWL_ORDER,
                       m["selected"])
+            tt = _mark("e6 order-write", tt)
 
             # execution 7 — fetch (bucketed join, shuffle of the SMALL
             # side only) -> block re-split -> extract (single html pass).
@@ -488,6 +504,9 @@ class CrawlDriver:
                 )
                 .materialize()
             )
+            tt = _mark("e7 fetch+extract", tt)
+            if _TRACE:
+                print(ex.stats(), flush=True)
 
             # execution 9 — one aggregate for fetch + link counters
             sums = _col_sums(ex, ["found", "n_bytes", "links_raw"] + stages._COUNTER_KEYS)
@@ -512,6 +531,7 @@ class CrawlDriver:
             )
             _write_ds(pagestate_ds, os.path.join(tmp, "pagestate"), PAGESTATE,
                       m["fetched"])
+            tt = _mark("e9-10 sums+out-writes", tt)
 
             # execution 11 — children pass: explode -> dedupe -> seen check
             ch = (
@@ -536,6 +556,7 @@ class CrawlDriver:
                 .materialize()
             )
             m["links_out"] = ch.count()
+            tt = _mark("e11 children", tt)
             # execution 12 — child status histogram
             if m["links_out"]:
                 cc = {int(k): v for k, v in _value_counts(ch, "status").items()}
@@ -544,19 +565,44 @@ class CrawlDriver:
                 m["links_seen"] = cc.get(stages.CH_SEEN, 0)
                 children_new = _normalize_frontier(_filter_eq(ch, "status", 0))
 
-            # execution 13 — per-domain fetch totals -> domain gates (A4 rate)
-            by_dom = _value_counts(_filter_eq(ex, "found", 1), "domain")
-            by_gate: dict[int, tuple[list, list]] = {}
-            for dom, cnt in by_dom.items():
-                g = gate_shard(dom, cfg.gate_pool_size)
-                by_gate.setdefault(g, ([], []))[0].append(dom)
-                by_gate[g][1].append(int(cnt))
-            ray.get(
-                [
-                    self.gates[g].note_fetched.remote(doms, cnts, k)
-                    for g, (doms, cnts) in by_gate.items()
-                ]
-            )
+            # execution 13 — per-domain fetch totals -> domain gates
+            # (A4 rate).  Small rounds merge shuffle-free partials on
+            # the driver; above the threshold (unbounded domain
+            # cardinality at web scale) partials group by gate shard
+            # and each group pushes its counts to its gate actor from
+            # the task, so the driver never holds the histogram.
+            # Partial rows <= fetched, so gating on m["fetched"] bounds
+            # the driver path exactly.
+            if m["fetched"] <= self.phase_b_driver_threshold:
+                by_dom = _value_counts(hits, "domain")
+                by_gate: dict[int, tuple[list, list]] = {}
+                for dom, cnt in by_dom.items():
+                    g = gate_shard(dom, cfg.gate_pool_size)
+                    by_gate.setdefault(g, ([], []))[0].append(dom)
+                    by_gate[g][1].append(int(cnt))
+                ray.get(
+                    [
+                        self.gates[g].note_fetched.remote(doms, cnts, k)
+                        for g, (doms, cnts) in by_gate.items()
+                    ]
+                )
+            else:
+                (
+                    hits.map_batches(
+                        partial(stages.domain_count_partial,
+                                pool_size=cfg.gate_pool_size),
+                        batch_format="pyarrow",
+                    )
+                    .groupby("gate")
+                    .map_groups(
+                        partial(stages.gate_push_group,
+                                gate_handles=self.gates, round_no=k),
+                        batch_format="pandas",
+                    )
+                    .materialize()
+                )
+            ray.get([g.commit_fetched.remote() for g in self.gates])
+            tt = _mark("e12-13 hists+gates", tt)
         else:
             _write_ds(None, os.path.join(tmp, "order"), CRAWL_ORDER, 0)
             _write_ds(None, os.path.join(tmp, "out"), EXTRACTED, 0)
@@ -576,6 +622,7 @@ class CrawlDriver:
         m["enqueued"] = _write_ds(nxt, os.path.join(tmp, "frontier"), FRONTIER,
                                   n_next)
 
+        tt = _mark("final frontier-write", tt)
         # round barrier: snapshot state, manifest, atomic rename (§4.4)
         self._snapshot_state(tmp, k)
         m["wall_s"] = round(time.monotonic() - t0, 3)

@@ -112,6 +112,12 @@ class DomainGate:
         self.cfg = cfg
         self.fetched_total: dict[str, int] = {}
         self.rounds_seen = 0
+        # round -> {domain: count}; folded into fetched_total at the
+        # driver's round barrier.  Overwrite (not add) per (round,
+        # domain) so re-delivered pushes are idempotent — required by
+        # the distributed gate-push path, where counts arrive from
+        # map_groups tasks that Ray may retry.
+        self.staged: dict[int, dict[str, int]] = {}
 
     def check_batch(self, hosts: list[str], path_queries: list[str]) -> np.ndarray:
         cfg = self.cfg
@@ -121,9 +127,23 @@ class DomainGate:
         return out
 
     def note_fetched(self, domains: list[str], counts: list[int], round_no: int) -> None:
+        """Stage this round's per-domain fetch counts (idempotent:
+        the same (round, domain) overwrites).  Counts become visible in
+        export_state only after commit_fetched at the round barrier."""
+        staged = self.staged.setdefault(round_no, {})
         for d, c in zip(domains, counts):
-            self.fetched_total[d] = self.fetched_total.get(d, 0) + int(c)
-        self.rounds_seen = max(self.rounds_seen, round_no)
+            staged[d] = int(c)
+
+    def commit_fetched(self) -> int:
+        """Fold staged rounds into the running totals (round barrier)."""
+        n = 0
+        for rnd in sorted(self.staged):
+            for d, c in self.staged[rnd].items():
+                self.fetched_total[d] = self.fetched_total.get(d, 0) + c
+                n += 1
+            self.rounds_seen = max(self.rounds_seen, rnd)
+        self.staged.clear()
+        return n
 
     def export_state(self) -> dict:
         """Columns for the domains.parquet snapshot (schemas.DOMAINS)."""

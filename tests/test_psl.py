@@ -1,0 +1,78 @@
+"""Public Suffix List engine (core/psl.py) and the A.3 backend switch."""
+
+from __future__ import annotations
+
+import pytest
+
+from spider_ray.core import regdomain
+from spider_ray.core.psl import PublicSuffixList
+
+PSL = PublicSuffixList.snapshot()
+
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        # plain ICANN rules
+        ("www.example.com", "example.com"),
+        ("a.b.c.example.org", "example.org"),
+        ("www.bbc.co.uk", "bbc.co.uk"),
+        ("deep.sub.foo.co.uk", "foo.co.uk"),
+        ("example.com", "example.com"),
+        # private-section suffixes: each tenant is its own registrable
+        # domain (the round-1 heuristic mis-grouped all of these)
+        ("foo.blogspot.com", "foo.blogspot.com"),
+        ("foo.blogspot.co.uk", "foo.blogspot.co.uk"),
+        ("www.foo.blogspot.co.uk", "foo.blogspot.co.uk"),
+        ("alice.github.io", "alice.github.io"),
+        ("api.myapp.herokuapp.com", "myapp.herokuapp.com"),
+        # wildcard registry *.ck: any second-level label is a suffix
+        ("shop.stuff.co.ck", "stuff.co.ck"),
+        # exception rule !www.ck beats the wildcard
+        ("www.ck", "www.ck"),
+        ("sub.www.ck", "www.ck"),
+        # unknown TLD -> implicit default rule '*': last label is suffix
+        ("foo.bar.unknowntld", "bar.unknowntld"),
+        # host IS a public suffix: unchanged, never truncated
+        ("co.uk", "co.uk"),
+        ("blogspot.com", "blogspot.com"),
+        # wildcard Japanese city domains with city.* exceptions
+        ("a.b.kobe.jp", "a.b.kobe.jp"),
+        ("city.kobe.jp", "city.kobe.jp"),
+        ("www.city.kobe.jp", "city.kobe.jp"),
+        # single label / IP literal unchanged
+        ("localhost", "localhost"),
+        ("192.168.0.1", "192.168.0.1"),
+    ],
+)
+def test_psl_registrable(host, expected):
+    assert PSL.registrable_domain(host) == expected
+
+
+def test_full_dat_file_parses(tmp_path):
+    """A verbatim .dat file (comments, sections, blank lines) loads and
+    overrides the snapshot behavior."""
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\nuk\nco.uk\n\n*.custom\n!ok.custom\n"
+        "// ===END ICANN DOMAINS===\n"
+        "// ===BEGIN PRIVATE DOMAINS===\nmysaas.com\n"
+        "// ===END PRIVATE DOMAINS===\n"
+    )
+    p = PublicSuffixList.from_file(str(dat))
+    assert p.registrable_domain("tenant.mysaas.com") == "tenant.mysaas.com"
+    assert p.registrable_domain("a.b.custom") == "a.b.custom"
+    assert p.registrable_domain("x.ok.custom") == "ok.custom"
+
+
+def test_backend_switch_roundtrip():
+    try:
+        assert regdomain.registrable_domain("foo.blogspot.co.uk") == "blogspot.co.uk"
+        regdomain.use_psl()
+        assert regdomain.registrable_domain("foo.blogspot.co.uk") == "foo.blogspot.co.uk"
+        # fixture hosts agree across backends (goldens stay valid)
+        assert regdomain.registrable_domain("www.site7.example") == "site7.example"
+    finally:
+        regdomain.use_heuristic()
+    assert regdomain.registrable_domain("foo.blogspot.co.uk") == "blogspot.co.uk"
