@@ -324,21 +324,50 @@ _EMPTY_PAGES = None
 
 
 def _read_bucket_pages(bucket_dir: str, urls: list[str]) -> pa.Table:
-    """Two-phase selective read of one corpus bucket.
+    """Metadata-first selective read of one corpus bucket.
 
-    Phase 1 decodes ONLY the url column (cheap) and matches the probe
-    set vectorized (both sides sorted — the bucket is url-sorted on
-    disk).  Phase 2 decodes url+html+lang ONLY for row groups that
-    contain actual matches, then takes the exact matching rows.  A
-    fetch wave of URLs that mostly miss (e.g. discovered ?query
-    variants) therefore decodes almost no page bytes, and a partial
-    wave decodes only the touched groups — never the whole bucket."""
+    Phase 1 is METADATA-ONLY: the bucket is url-sorted on disk, so each
+    row group's parquet min/max url statistics bound which probe urls
+    it can contain (two searchsorted calls against the sorted probe
+    set) — row groups with no probe in range are never decoded, and no
+    url column is decoded at all for the pruning decision (VERDICT r01
+    item 6: the old phase 1 decoded the full url column of every
+    touched bucket file every round).  Phase 2 decodes url+html+lang
+    for candidate row groups only and takes the exact matching rows.
+    Files whose url statistics are missing (foreign writer, oversized
+    values) fall back to the url-column scan."""
     import glob as _glob
 
     probe = np.array(sorted(set(urls)))
     parts = []
     for f in sorted(_glob.glob(os.path.join(bucket_dir, "*.parquet"))):
         pf = pq_file.ParquetFile(f)
+        md = pf.metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        uidx = names.index("url")
+        mins: list[str] = []
+        maxs: list[str] = []
+        have_stats = True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(uidx).statistics
+            if st is None or not st.has_min_max:
+                have_stats = False
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if have_stats:
+            lo = np.searchsorted(probe, np.asarray(mins), side="left")
+            hi = np.searchsorted(probe, np.asarray(maxs), side="right")
+            for g in np.flatnonzero(lo < hi):
+                tbl = pf.read_row_group(int(g), columns=["url", "html", "lang"])
+                u = np.asarray(tbl.column("url").to_pylist())
+                sub = probe[lo[g]:hi[g]]
+                idx = np.searchsorted(u, sub)
+                valid = idx < len(u)
+                hit = idx[valid][u[idx[valid]] == sub[valid]]
+                if len(hit):
+                    parts.append(tbl.take(pa.array(hit)))
+            continue
         url_col = pf.read(columns=["url"]).column("url").combine_chunks()
         u = np.asarray(url_col.to_pylist())
         idx = np.searchsorted(u, probe)

@@ -74,3 +74,46 @@ def test_domain_bucket_groups_same_domain_same_hash():
     b1 = domain_bucket("a.example", 100, nb)
     b2 = domain_bucket("a.example", 100 + FETCH_SUB, nb)  # same sub-split
     assert b1 == b2
+
+
+def test_stats_pruned_read_decodes_only_candidate_groups(tmp_path, monkeypatch):
+    """Phase 1 is metadata-only: with 10 row groups and one probed
+    range, read_row_group must be called once, and never pf.read."""
+    import spider_ray.crawl.stages as stages
+
+    urls = [f"https://s.example/p/{i:03d}" for i in range(40)]
+    d = _write_bucket(tmp_path, urls, n_files=1, row_group_size=4)
+
+    reads = []
+    orig = pq.ParquetFile.read_row_group
+
+    def spy(self, g, **kw):
+        reads.append(g)
+        return orig(self, g, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "read_row_group", spy)
+    monkeypatch.setattr(
+        pq.ParquetFile, "read",
+        lambda self, **kw: (_ for _ in ()).throw(AssertionError("full read")),
+    )
+    out = stages._read_bucket_pages(d, [urls[13]])
+    assert out.column("url").to_pylist() == [urls[13]]
+    assert reads == [13 // 4]
+
+
+def test_stats_missing_falls_back_to_scan(tmp_path):
+    """Files without url statistics still read correctly (scan path)."""
+    d = tmp_path / "bucket=0"
+    d.mkdir()
+    urls = sorted(f"https://s.example/p/{i}" for i in range(12))
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array([b"<p>x</p>"] * len(urls), pa.binary()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "part-0.parquet"), row_group_size=5,
+                   write_statistics=False)
+    out = _read_bucket_pages(str(d), [urls[2], urls[11], "https://zz.example/m"])
+    assert sorted(out.column("url").to_pylist()) == sorted([urls[2], urls[11]])
