@@ -274,6 +274,30 @@ def events_tumbling_window(sf_dir: str):
     )
 
 
+def sample_orders_hash(sf_dir: str):
+    """O4 sampling, deterministic: keep orders whose md5(o_orderkey)
+    first byte < 26 (~10% Bernoulli).  Content-keyed, so any
+    partitioning, block split or resume yields the SAME sample —
+    Ray's random_sample never appears in a correctness path (SURVEY
+    §2.6 O4)."""
+    import hashlib
+
+    import numpy as np
+
+    ds = ops.read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_pylist()
+        mask = np.fromiter(
+            (hashlib.md5(str(k).encode()).digest()[0] < 26 for k in keys),
+            bool, len(keys),
+        )
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 ORACLE_SQL: dict[str, str] = {
     "filter_lineitem": """
         SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate
@@ -349,6 +373,11 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n
         FROM events GROUP BY 1, 2
     """,
+    # 2-char lowercase-hex prefix compare == numeric first-byte compare
+    "sample_orders_hash": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
 }
 
 QUERIES = {
@@ -366,4 +395,5 @@ QUERIES = {
     "domain_counts_documents": domain_counts_documents,
     "orders_by_month": orders_by_month,
     "events_tumbling_window": events_tumbling_window,
+    "sample_orders_hash": sample_orders_hash,
 }
