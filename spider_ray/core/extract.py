@@ -148,6 +148,31 @@ _TOK = re.compile(
     r"|(?P<other><)"
 )
 
+# ---- segment fast path ----------------------------------------------------
+# "Interesting" constructs need per-construct logic: <a> (href), the
+# skip/raw-text elements (depth, cdata), and anything non-tag.  All
+# OTHER well-formed tags only ever (a) break a text piece and (b) emit
+# block newlines — so a whole run of text + boring tags is consumed by
+# ONE C-level match and replayed with one C-level split, instead of a
+# Python dispatch per tag.  The name lookahead requires a delimiter
+# after the excluded name so <abbr>/<address> stay boring while <a> is
+# interesting.
+_INTER = r"/?(?:a|script|style|noscript|template|head|iframe|svg)[\t\n\r\f />]"
+_WF_ATTRS = (
+    r"(?:\s+[^\s/>=\"'][^\s=>\"']*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>\"'][^\s>]*|))?)*"
+)
+_SEG = re.compile(
+    r"(?:[^<]+|<(?!" + _INTER + r")/?[a-zA-Z][-.a-zA-Z0-9:_]*"
+    + _WF_ATTRS + r"\s*/?>)+",
+    re.IGNORECASE,
+)
+_SEG_SPLIT = re.compile(
+    r"<(/?)([a-zA-Z][-.a-zA-Z0-9:_]*)" + _WF_ATTRS + r"\s*(/?)>",
+    re.IGNORECASE,
+)
+_BLOCK_CACHE: dict = {}
+
 
 def _scan(html: str) -> tuple[list[str], list[str]]:
     """One pass -> (text pieces, hrefs), HTMLParser-equivalent.
@@ -184,7 +209,47 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                 data = _unescape(data)
             append(ws_sub(" ", data))
 
+    seg_match = _SEG.match
+    seg_split = _SEG_SPLIT.split
+    block_cache = _BLOCK_CACHE
     while pos < n:
+        sm = seg_match(html, pos)
+        if sm:
+            if skip_depth:
+                # inside a skip subtree: text and boring tags drop
+                # wholesale; one C match consumes the whole run (the
+                # matcher still respects quoted attributes, so a
+                # '</noscript>' inside an attr value cannot fake a
+                # subtree close)
+                pos = sm.end()
+                continue
+            parts = seg_split(sm.group(0))
+            data = parts[0]
+            if data:
+                if "&" in data:
+                    data = _unescape(data)
+                append(ws_sub(" ", data))
+            i = 1
+            np_ = len(parts)
+            while i < np_:
+                name = parts[i + 1]
+                b = block_cache.get(name)
+                if b is None:
+                    b = name.lower() in BLOCK_TAGS
+                    if len(block_cache) < 4096:
+                        block_cache[name] = b
+                if b:
+                    append("\n")
+                    if parts[i + 2] and not parts[i]:
+                        append("\n")  # self-closed block: open+close
+                data = parts[i + 3]
+                if data:
+                    if "&" in data:
+                        data = _unescape(data)
+                    append(ws_sub(" ", data))
+                i += 4
+            pos = sm.end()
+            continue
         m = tok(html, pos)
         lg = m.lastgroup
         if lg == "text":
