@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
+from spider_ray.core import regdomain
 from spider_ray.core.robots import RobotsRules, parse_robots
 from spider_ray.core.seqs import DEFAULT_CRAWL_DELAY_S, domain_budget
 
@@ -35,6 +36,12 @@ class CrawlConfig:
     gate_pool_size: int = 4
     seen_capacity_per_shard: int = 1 << 16
     salt_target: int = 4096  # A.8 SALT_TARGET
+    # Full Public-Suffix-List mode for A.3 registrable-domain grouping
+    # (deployment mode; fixture goldens pin the heuristic).  Carried in
+    # the config so every WORKER applies the same backend when it loads
+    # the broadcast config (module state set on the driver alone would
+    # silently desync workers that import spider_ray by name).
+    psl: bool = False
 
     _rules_cache: dict[str, RobotsRules] = field(
         default_factory=dict, compare=False, hash=False, repr=False
@@ -75,6 +82,9 @@ class CrawlConfig:
                 "gate_pool_size": self.gate_pool_size,
                 "seen_capacity_per_shard": self.seen_capacity_per_shard,
                 "salt_target": self.salt_target,
+                # only serialized when enabled: keeps config_hash of
+                # every pre-existing heuristic-mode checkpoint stable
+                **({"psl": True} if self.psl else {}),
             },
             sort_keys=True,
         )
@@ -92,12 +102,25 @@ class CrawlConfig:
             gate_pool_size=d["gate_pool_size"],
             seen_capacity_per_shard=d["seen_capacity_per_shard"],
             salt_target=d["salt_target"],
+            psl=d.get("psl", False),
         )
 
     def config_hash(self) -> str:
         import hashlib
 
         return hashlib.sha1(self.to_json().encode()).hexdigest()[:16]
+
+
+def apply_domain_backend(cfg: "CrawlConfig") -> None:
+    """Switch core.regdomain to the backend this config pins.  Called
+    wherever a config enters a process: driver/oracle init and the
+    worker-side get_cfg.  (regdomain is imported at module level — a
+    runtime import here would break the cloudpickle by-value worker
+    fallback.)"""
+    if cfg.psl:
+        regdomain.use_psl()
+    else:
+        regdomain.use_heuristic()
 
 
 def load_crawl_config(fixture_dir: str, **overrides) -> CrawlConfig:

@@ -177,13 +177,15 @@ _BLOCK_CACHE: dict = {}
 def _scan(html: str) -> tuple[list[str], list[str]]:
     """One pass -> (text pieces, hrefs), HTMLParser-equivalent.
 
-    Two-speed tokenizer: the composite ``_TOK`` regex consumes text
-    runs, well-formed end tags and well-formed start tags in single C
-    calls (the overwhelmingly common case on real pages); anything it
-    cannot prove well-formed — comments, declarations, marked sections,
-    PIs, stray '<', tags with exotic names or quote-in-name attributes
-    — lands on the ``other`` branch, which re-parses that single
-    construct with the careful HTMLParser-faithful logic.
+    Three speeds, exact at each: (1) ``_SEG`` consumes a whole run of
+    text + well-formed boring tags in one C match and replays it with
+    one C split (or drops it wholesale inside skip subtrees); (2) the
+    composite ``_TOK`` regex handles the interesting-but-well-formed
+    constructs (<a href>, skip/raw-text elements) one per C call;
+    (3) anything neither can prove well-formed — comments,
+    declarations, marked sections, PIs, stray '<', tags with exotic
+    names or quote-in-name attributes — lands on the careful
+    HTMLParser-faithful branch.
 
     Documented divergence: on an unknown marked section (``<![weird]>``)
     the stdlib reference RAISES AssertionError; this scanner skips it

@@ -43,12 +43,18 @@ _psl = None
 
 def use_psl(dat_path: str | None = None) -> None:
     """Switch A.3 to the full PSL algorithm — the built-in snapshot, or
-    a verbatim ``public_suffix_list.dat`` when ``dat_path`` is given."""
+    a verbatim ``public_suffix_list.dat`` when ``dat_path`` is given.
+    Idempotent for the snapshot case, so per-batch callers pay the
+    rule-set build exactly once per process."""
     global _psl
     from spider_ray.core.psl import PublicSuffixList
 
-    _psl = (PublicSuffixList.from_file(dat_path) if dat_path
-            else PublicSuffixList.snapshot())
+    if dat_path is None:
+        if _psl is None or not getattr(_psl, "_is_snapshot", False):
+            _psl = PublicSuffixList.snapshot()
+            _psl._is_snapshot = True
+        return
+    _psl = PublicSuffixList.from_file(dat_path)
 
 
 def use_heuristic() -> None:

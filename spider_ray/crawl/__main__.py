@@ -28,6 +28,10 @@ def main() -> None:
                     help="run N re-visit passes (change detection against "
                          "pages_v2.parquet) after the crawl completes")
     ap.add_argument("--revisit-interval", type=int, default=1)
+    ap.add_argument("--psl", action="store_true",
+                    help="full Public-Suffix-List registrable domains "
+                         "(deployment mode; default is the pinned "
+                         "two-level heuristic the goldens use)")
     args = ap.parse_args()
 
     import ray
@@ -47,6 +51,8 @@ def main() -> None:
         overrides = {}
         if args.shards:
             overrides["num_shards"] = args.shards
+        if args.psl:
+            overrides["psl"] = True
         cfg = load_crawl_config(args.fixture, **overrides)
         drv = CrawlDriver(
             args.fixture, args.ckpt, cfg, exact_seen=not args.no_exact_seen

@@ -32,9 +32,11 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from spider_ray.core.config import CrawlConfig, load_crawl_config, load_seed_urls
+from spider_ray.core.config import (
+    CrawlConfig, apply_domain_backend, load_crawl_config, load_seed_urls,
+)
 from spider_ray.core.hashing import hash_url_batch
-from spider_ray.core.regdomain import registrable_domain
+from spider_ray.core.regdomain import registrable_domain, use_heuristic, use_psl
 from spider_ray.core.scope import split_host_pq
 from spider_ray.core.schemas import (
     CRAWL_ORDER, DOMAINS, EXTRACTED, FRONTIER, PAGESTATE, REVISIT,
@@ -147,6 +149,7 @@ class CrawlDriver:
         self.fixture_dir = fixture_dir
         self.ckpt_dir = ckpt_dir
         self.cfg = cfg or load_crawl_config(fixture_dir)
+        apply_domain_backend(self.cfg)
         self.fetch_buckets = fetch_buckets
         self.dedup_parts = dedup_parts
         self.sel_slices = sel_slices
@@ -172,6 +175,7 @@ class CrawlDriver:
         # fixture (it is immutable once built)
         self.pages_dir = pages_dir or os.path.join(ckpt_dir, "pages_bucketed")
         self.start_round = 1
+        self._prepared = False
 
     # -- one-time preparation -------------------------------------------
     def prepare_pages(self) -> None:
@@ -190,9 +194,16 @@ class CrawlDriver:
         )
         nb = self.fetch_buckets
 
+        psl_mode = self.cfg.psl
+
         def add_bucket(t: pa.Table) -> pa.Table:
             import numpy as np
 
+            # worker-side A.3 backend pin (this closure runs before any
+            # get_cfg-guarded stage in a fresh bucketing worker);
+            # captured FUNCTIONS, not a runtime spider_ray import, so
+            # the cloudpickle by-value fallback keeps working
+            (use_psl if psl_mode else use_heuristic)()
             urls = t.column("url").to_pylist()
             h64, _ = hash_url_batch(urls)
             # NB: capture FUNCTIONS, not the stages module — a module
@@ -272,6 +283,7 @@ class CrawlDriver:
         return best
 
     def prepare(self) -> None:
+        self._prepared = True
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.prepare_pages()
         last = self.latest_round()
@@ -681,12 +693,18 @@ class CrawlDriver:
         from spider_ray.oracle import REVISIT_METRIC_KEYS
 
         t0 = time.monotonic()
+        if not self._prepared:
+            # fresh driver resumed onto an existing checkpoint: load the
+            # seen/domain actor state (and run the config guard) before
+            # this pass snapshots state into its round dir — otherwise
+            # the revisit round would checkpoint EMPTY shards
+            self.prepare()
         cfg_ref = self.cfg_ref
         stem = os.path.splitext(pages_file)[0]
         v2_dir = os.path.join(self.ckpt_dir, f"{stem}_bucketed")
         self._bucket_corpus(pages_file, v2_dir)
         last = self.latest_round()
-        if last is None:
+        if last is None or last < 1:
             raise RuntimeError("run_revisit requires a completed crawl")
         k = last + 1
         cutoff = k - interval

@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq_file
 import ray
 
-from spider_ray.core.config import CrawlConfig
+from spider_ray.core.config import CrawlConfig, apply_domain_backend
 from spider_ray.core.extract import extract_text_and_links
 from spider_ray.core.hashing import hash_url_batch
 from spider_ray.core.links import kept_links
@@ -66,6 +66,9 @@ def get_cfg(cfg_ref) -> CrawlConfig:
         cfg = ray.get(cfg_ref)
         _cfg_cache.clear()  # one crawl config per worker at a time
         _cfg_cache[key] = cfg
+        # pin A.3's registrable-domain backend (heuristic vs full PSL)
+        # in THIS worker to what the config says
+        apply_domain_backend(cfg)
     return cfg
 
 

@@ -43,7 +43,7 @@ from dataclasses import dataclass
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from spider_ray.core.config import CrawlConfig, load_crawl_config, load_seed_urls
+from spider_ray.core.config import CrawlConfig, load_crawl_config, load_seed_urls, apply_domain_backend
 from spider_ray.core.extract import extract_text_and_links
 from spider_ray.core.hashing import url_hash_fp
 from spider_ray.core.links import kept_links
@@ -106,6 +106,7 @@ class OracleCrawl:
     def __init__(self, fixture_dir: str, cfg: CrawlConfig | None = None) -> None:
         self._fixture_dir = fixture_dir
         self.cfg = cfg or load_crawl_config(fixture_dir)
+        apply_domain_backend(self.cfg)
         pages = pq.read_table(
             os.path.join(fixture_dir, "pages.parquet"),
             columns=["url", "html", "text", "lang"],
@@ -423,8 +424,12 @@ def main() -> None:
     ap.add_argument("--max-rounds", type=int, default=100)
     ap.add_argument("--revisit", type=int, default=0,
                     help="run N re-visit passes after the crawl")
+    ap.add_argument("--psl", action="store_true",
+                    help="full Public-Suffix-List registrable domains")
     args = ap.parse_args()
-    sim = OracleCrawl(args.fixture_dir)
+    cfg = (load_crawl_config(args.fixture_dir, psl=True)
+           if args.psl else None)
+    sim = OracleCrawl(args.fixture_dir, cfg)
     sim.run(args.max_rounds)
     for _ in range(args.revisit):
         sim.run_revisit()

@@ -130,3 +130,48 @@ def test_pagestate_latest_matches(oracle_revisit, engine_revisit):
         cols,
     )
     pd.testing.assert_frame_equal(eng, gold)
+
+
+def test_revisit_after_resume_matches_oracle(
+    ray_session, micro_fixture, tmp_path_factory
+):
+    """Kill the driver between the crawl and the re-visit pass, and
+    between two re-visit passes: a FRESH driver resumed from disk must
+    produce the same revisit metrics as the oracle's in-process passes
+    (the page store and seen state live in the checkpoint, not the
+    driver)."""
+    from spider_ray.crawl.driver import CrawlDriver
+    from spider_ray.oracle import OracleCrawl, REVISIT_METRIC_KEYS
+
+    sim = OracleCrawl(micro_fixture)
+    sim.run()
+    m1 = sim.run_revisit()
+    m2 = sim.run_revisit()
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_rv_resume"))
+    drv = CrawlDriver(micro_fixture, ckpt)
+    drv.run(max_rounds=50)
+    drv.close()
+    drv2 = CrawlDriver(micro_fixture, ckpt)
+    e1 = drv2.run_revisit()
+    drv2.close()
+    drv3 = CrawlDriver(micro_fixture, ckpt)
+    e2 = drv3.run_revisit()
+    drv3.close()
+    for want, got, tag in ((m1, e1, "pass1"), (m2, e2, "pass2")):
+        diffs = {k: (want[k], got.get(k)) for k in REVISIT_METRIC_KEYS
+                 if want[k] != got.get(k)}
+        assert not diffs, f"{tag}: {diffs}"
+
+    # the revisit rounds' seen snapshots must carry the FULL crawl seen
+    # set (a fresh driver must load state before snapshotting, else the
+    # checkpoint chain silently loses it)
+    import numpy as np
+
+    rounds = sorted(glob.glob(os.path.join(ckpt, "round=*")))
+    def seen_count(rd):
+        return sum(
+            len(np.load(f))
+            for f in glob.glob(os.path.join(rd, "seen", "*.exact.npy"))
+        )
+    assert seen_count(rounds[-1]) == seen_count(rounds[-3]) > 0

@@ -76,3 +76,48 @@ def test_backend_switch_roundtrip():
     finally:
         regdomain.use_heuristic()
     assert regdomain.registrable_domain("foo.blogspot.co.uk") == "blogspot.co.uk"
+
+
+def test_config_psl_roundtrip_and_hash_stability(tmp_path):
+    from spider_ray.core.config import CrawlConfig
+
+    base = dict(allowed_domains=frozenset({"a.example"}), exclusions={},
+                robots_bodies={}, crawl_delays={})
+    heur = CrawlConfig(**base)
+    psl = CrawlConfig(**base, psl=True)
+    assert CrawlConfig.from_json(psl.to_json()).psl is True
+    assert CrawlConfig.from_json(heur.to_json()).psl is False
+    # psl=False configs hash exactly as before the field existed
+    assert "psl" not in heur.to_json()
+    assert heur.config_hash() != psl.config_hash()
+
+
+def test_psl_mode_crawl_engine_matches_oracle(
+    ray_session, micro_fixture, tmp_path_factory
+):
+    """End-to-end PSL-mode parity: the psl flag rides the broadcast
+    config into every worker (get_cfg / add_bucket pin the backend), so
+    engine and oracle agree under the PSL backend exactly as they do
+    under the heuristic.  Fixture hosts are *.example, where the two
+    backends coincide — this proves the PLUMBING is consistent, the
+    backend itself is covered by the unit tests above."""
+    from spider_ray.core import regdomain
+    from spider_ray.core.config import load_crawl_config
+    from spider_ray.crawl.driver import CrawlDriver
+    from spider_ray.oracle import OracleCrawl
+
+    try:
+        cfg = load_crawl_config(micro_fixture, psl=True)
+        sim = OracleCrawl(micro_fixture, cfg)
+        sim.run(3)
+        ckpt = str(tmp_path_factory.mktemp("ckpt_psl"))
+        drv = CrawlDriver(micro_fixture, ckpt, cfg)
+        metrics = drv.run(max_rounds=3)
+        drv.close()
+        assert regdomain._psl is not None  # driver-side backend active
+        for i, (mo, me) in enumerate(zip(sim.metrics[:3], metrics)):
+            diffs = {k: (mo[k], me.get(k)) for k in mo
+                     if k != "wall_s" and mo[k] != me.get(k)}
+            assert not diffs, f"round {i + 1}: {diffs}"
+    finally:
+        regdomain.use_heuristic()
