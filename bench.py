@@ -132,24 +132,40 @@ def _consume(result) -> int:
     return len(result)
 
 
-def run_bench(headline_only: bool = False) -> dict:
-    import ray
+class _session:
+    """Fresh Ray session per bench phase.  A long shared session lets
+    one phase degrade the next (object-store churn, worker-pool state —
+    measured: the BFS crawl 5x slower inside a session that had just
+    run the headline); phase isolation costs ~5 s each and makes the
+    recorded numbers reproducible standalone."""
 
+    def __enter__(self):
+        import ray
+
+        ray.init(
+            address="local",
+            num_cpus=NCPU,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        return self
+
+    def __exit__(self, *a):
+        import ray
+
+        ray.shutdown()
+
+
+def run_bench(headline_only: bool = False) -> dict:
     ensure_fixture()
     ensure_prepared_corpus()
-    ray.init(
-        address="local",
-        num_cpus=NCPU,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
-    from ray.data import DataContext
+    from spider_ray.crawl.driver import CrawlDriver
 
-    DataContext.get_current().enable_progress_bars = False
-    try:
-        from spider_ray.crawl.driver import CrawlDriver
-
+    with _session():
         # headline: the big pre-seeded frontier, 2 rounds
         ckpt = f"{ROOT}/ckpt_frontier_{NCPU}"
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -159,13 +175,14 @@ def run_bench(headline_only: bool = False) -> dict:
         metrics = drv.run(max_rounds=2)
         headline_s = time.monotonic() - t0
         drv.close()
-        urls = sum(m["candidates"] for m in metrics)
-        fetched = sum(m["fetched"] for m in metrics)
-        enqueued = sum(m["enqueued"] for m in metrics)
-        links = sum(m["links_out"] for m in metrics)
+    urls = sum(m["candidates"] for m in metrics)
+    fetched = sum(m["fetched"] for m in metrics)
+    enqueued = sum(m["enqueued"] for m in metrics)
+    links = sum(m["links_out"] for m in metrics)
 
-        times: dict[str, float] = {"frontier_pipeline": round(headline_s, 3)}
-        if not headline_only:
+    times: dict[str, float] = {"frontier_pipeline": round(headline_s, 3)}
+    if not headline_only:
+        with _session():
             # BFS discovery crawl on the thin fixture
             bfs_ckpt = f"{ROOT}/ckpt_bfs_{NCPU}"
             shutil.rmtree(bfs_ckpt, ignore_errors=True)
@@ -175,6 +192,7 @@ def run_bench(headline_only: bool = False) -> dict:
             times["crawl_bfs"] = round(time.monotonic() - t0, 3)
             d2.close()
 
+        with _session():
             import __ray_entry__ as e
 
             qs = e.queries()
@@ -183,26 +201,24 @@ def run_bench(headline_only: bool = False) -> dict:
                 _consume(qs[name](SF_DIR))
                 times[name] = round(time.monotonic() - t0, 3)
 
-        return {
-            "metric": "frontier URLs processed/sec (fetch+dedupe+enqueue)",
-            "value": round(headline_s, 3),
-            "unit": "sec",
-            "queries": times,
-            "sf": SF_DIR,
-            "num_cpus": NCPU,
-            "crawl": {
-                "scale": BENCH_SCALE,
-                "mode": "preseeded-frontier",
-                "rounds": len(metrics),
-                "frontier_urls": urls,
-                "fetched": fetched,
-                "links_extracted": links,
-                "enqueued": enqueued,
-                "urls_per_s": round(urls / headline_s, 1) if headline_s else 0.0,
-            },
-        }
-    finally:
-        ray.shutdown()
+    return {
+        "metric": "frontier URLs processed/sec (fetch+dedupe+enqueue)",
+        "value": round(headline_s, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "crawl": {
+            "scale": BENCH_SCALE,
+            "mode": "preseeded-frontier",
+            "rounds": len(metrics),
+            "frontier_urls": urls,
+            "fetched": fetched,
+            "links_extracted": links,
+            "enqueued": enqueued,
+            "urls_per_s": round(urls / headline_s, 1) if headline_s else 0.0,
+        },
+    }
 
 
 def _subprocess_run(ncpu: int) -> dict:
