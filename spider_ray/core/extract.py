@@ -121,11 +121,38 @@ from html import unescape as _unescape
 # everything except whitespace, "/", ">" is part of the name
 _TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
-# jump to the next quote section or tag close, skipping quoted '>'
-_QUOTE_OR_GT_RE = re.compile(r"[\"'>]")
-_HREF_RE = re.compile(
-    r"""(?:^|[\s"'/])href\s*=\s*("[^"]*"|'[^']*'|[^\s>]*)""", re.IGNORECASE
+# exact CPython attrfind_tolerant replica — used to pull href out of
+# <a ...> spans (regex shortcuts mis-handle 'href' embedded in exotic
+# attr NAMES or inside other attrs' values; <a> tags are rare enough
+# that the faithful per-attr loop costs nothing)
+_ATTRFIND = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
 )
+_DELIM_SKIP = re.compile(r"(?:\s|/(?!>))*")
+# check_for_whole_start_tag: these next-chars mean "incomplete tag"
+_INCOMPLETE_NEXT = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/ "
+)
+
+
+def _find_href(html: str, k: int, endpos: int):
+    """First href attribute WITH a value in [k, endpos) — HTMLParser's
+    parse_starttag attr loop + the extractor's v-is-not-None pick."""
+    k = _DELIM_SKIP.match(html, k, endpos).end()
+    while k < endpos:
+        m = _ATTRFIND.match(html, k, endpos)
+        if not m:
+            break
+        if m.group(2) and m.group(1).lower() == "href":
+            v = m.group(3)
+            if v and v[0] in "\"'":
+                v = v[1:-1]
+            return _unescape(v) if "&" in v else v
+        if m.end() == k:
+            break
+        k = m.end()
+    return None
 _CDATA_CLOSE = {
     "script": re.compile(r"</\s*script", re.IGNORECASE),
     "style": re.compile(r"</\s*style", re.IGNORECASE),
@@ -342,60 +369,59 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                 pos += 1
                 continue
             tag = nm.group(0).lower()
-            # locate the real '>'.  A quote opens a skip-section ONLY
-            # as an attribute VALUE (preceded by '=' modulo
-            # whitespace) — a quote in attr-name position is an
-            # ordinary character (HTMLParser attrfind_tolerant
-            # semantics, e.g. <a '<p> has attr name "'<p").
+            # Faithful check_for_whole_start_tag: walk the attributes
+            # with the attrfind replica (quotes, bare values containing
+            # quotes/'<'/'>', '=' runs — all resolved exactly as the
+            # stdlib does) and dispatch on the character the walk
+            # stops at.
             attrs_start = nm.end()
-            cur = attrs_start
-            unterminated = False
+            k = _DELIM_SKIP.match(html, attrs_start).end()
             while True:
-                q = _QUOTE_OR_GT_RE.search(html, cur)
-                if q is None:
-                    unterminated = True
+                am = _ATTRFIND.match(html, k)
+                if am is None or am.end() == k:
                     break
-                c = q.group(0)
-                if c == ">":
-                    cur = q.start()
-                    break
-                i = q.start() - 1
-                while i >= attrs_start and html[i] in " \t\n\r\f":
-                    i -= 1
-                if i < attrs_start or html[i] != "=":
-                    cur = q.end()  # quote in name position: no skip
-                    continue
-                close = find(c, q.end())
-                if close == -1:
-                    unterminated = True
-                    break
-                cur = close + 1
-            if unterminated:
-                flush_eof(pos)
-                break
-            attrs_end = cur
-            # '/>' is a self-close only when the '/' is not the tail
-            # of an unquoted attribute value (HTMLParser: <a href=x/>
-            # is a START tag with value "x/"; <a href=x /> and <br/>
-            # are self-closed)
-            selfclose = (
-                attrs_end > attrs_start
-                and html[attrs_end - 1] == "/"
-                and (
-                    attrs_end - 1 == attrs_start
-                    or html[attrs_end - 2] in " \t\n\r\f\"'"
-                )
-            )
-            pos = attrs_end + 1
+                k = am.end()
+            nxt2 = html[k : k + 1]
+            if nxt2 == ">":
+                attrs_end = k
+                selfclose = False
+                pos = k + 1
+            elif nxt2 == "/" and html.startswith("/>", k):
+                attrs_end = k
+                selfclose = True
+                pos = k + 2
+            elif nxt2 == "" or nxt2 == "/" or nxt2 in _INCOMPLETE_NEXT:
+                # incomplete at buffer end -> at close() the stdlib
+                # re-emits from '<' as data: through the first '>',
+                # else up to the next '<', else just the '<'
+                gt = find(">", pos + 1)
+                if gt != -1:
+                    stop = gt + 1
+                else:
+                    lt2 = find("<", pos + 1)
+                    stop = lt2 if lt2 != -1 else pos + 1
+                if skip_depth == 0:
+                    data = html[pos:stop]
+                    if "&" in data:
+                        data = _unescape(data)
+                    append(ws_sub(" ", data))
+                pos = stop
+                continue
+            else:
+                # walk stopped on a character no tag can contain here:
+                # the span through it becomes data (parse_starttag's
+                # end-not-in-('>','/>') path, no unescape)
+                stop = k if k > pos + 1 else pos + 1
+                if skip_depth == 0:
+                    append(ws_sub(" ", html[pos:stop]))
+                pos = stop
+                continue
 
         # ---- shared start-tag tail (fast and careful paths) ---------
         if tag == "a":
-            hm = _HREF_RE.search(html, attrs_start, attrs_end)
-            if hm:
-                v = hm.group(1)
-                if v and v[0] in "\"'":
-                    v = v[1:-1]
-                links.append(_unescape(v) if "&" in v else v)
+            v = _find_href(html, attrs_start, attrs_end)
+            if v is not None:
+                links.append(v)
         if selfclose:
             if tag not in SKIP_TAGS and skip_depth == 0 and tag in BLOCK_TAGS:
                 append("\n")

@@ -409,7 +409,7 @@ class CrawlDriver:
                     partial(stages.add_sel_slice, n_slices=self.sel_slices),
                     batch_format="pyarrow",
                 )
-                .groupby("part_key")
+                .groupby("sel_part")
                 .map_groups(
                     partial(stages.local_select_rank, cfg_ref=cfg_ref),
                     batch_format="pandas",
