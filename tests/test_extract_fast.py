@@ -131,12 +131,28 @@ _soup_atom = st.one_of(
             "<!-- c -->",
             "<!doctype x>",
             "<? pi ?>",
+            # quote/equals torture fragments — each of these families
+            # broke an earlier heuristic (see git history): quotes in
+            # attr-NAME position, unclosed values, href text embedded
+            # in other attrs' names/values
+            "<A =\">",
+            "=\"",
+            "='",
+            "<a ",
+            "href=\"",
+            "href='",
+            "=",
+            "\"",
+            "'",
+            "title=\"href=/f\"",
+            "b=web/href=/y",
+            "/href=/z",
         ]
     ),
 )
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=400, deadline=None)
 @given(st.lists(_soup_atom, max_size=25).map("".join))
 def test_soup_equivalence(html):
     _assert_equiv(html)
