@@ -94,9 +94,11 @@ def entry() -> Any:
 
 
 def _crawl_flagship(sf_dir: str) -> Any:
-    """Crawl-order table of a 4-round micro crawl (rows-only check —
-    the crawl is not SQL-expressible; its real oracle is the golden
-    simulator exercised by pytest)."""
+    """Crawl-order table of a 4-round micro crawl.  Oracle: a pinned
+    golden parquet produced by the single-threaded simulator
+    (spider_ray/goldens.py crawl_flagship_golden — the crawl itself is
+    not SQL-expressible, so the SQL twin just reads the simulator's
+    output; tests/test_goldens_fresh.py guards against staleness)."""
     import glob
     import shutil
 
@@ -119,9 +121,9 @@ def _crawl_flagship(sf_dir: str) -> Any:
 
 def _crawl_revisit(sf_dir: str) -> Any:
     """Change-detection diff table of one re-visit pass over the
-    drifted corpus (pages_v2) after a 4-round micro crawl (rows-only
-    check — the sequential oracle twin is OracleCrawl.run_revisit,
-    exercised exactly in tests/test_crawl_revisit.py)."""
+    drifted corpus (pages_v2) after a 4-round micro crawl.  Oracle: a
+    pinned golden from the sequential simulator's run_revisit
+    (spider_ray/goldens.py crawl_revisit_golden)."""
     import glob
     import shutil
 
@@ -182,4 +184,14 @@ def oracle_sql() -> dict[str, str]:
     out.update(DEDUP_ORACLE_SQL)
     out.update(ANN_ORACLE_SQL)
     out.update(MULTIMODAL_ORACLE_SQL)
+    # pinned sequential-simulator goldens for the crawl queries (see
+    # spider_ray/goldens.py; regenerate with `python -m spider_ray.goldens`)
+    out["crawl_flagship"] = """
+        SELECT seq, round, depth, domain, url
+        FROM read_parquet('/root/repo/goldens/crawl_flagship.parquet')
+    """
+    out["crawl_revisit"] = """
+        SELECT url, domain, old_checksum, new_checksum, changed, round
+        FROM read_parquet('/root/repo/goldens/crawl_revisit.parquet')
+    """
     return out

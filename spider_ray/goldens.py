@@ -130,10 +130,65 @@ def decode_media_golden() -> pa.Table:
     })
 
 
+def _oracle_micro_run(revisit: bool = False):
+    """Sequential oracle simulator on a FRESH micro fixture — the same
+    deterministic corpus __ray_entry__'s crawl queries run on, and the
+    same 4-round budget (max_rounds=4)."""
+    import shutil
+    import tempfile
+
+    from spider_ray.fixtures.gen import generate
+    from spider_ray.oracle import OracleCrawl
+
+    tmp = tempfile.mkdtemp(prefix="spider_ray_goldens_")
+    try:
+        generate("micro", tmp)
+        sim = OracleCrawl(tmp)
+        sim.run(max_rounds=4)
+        if revisit:
+            sim.run_revisit()
+        return sim
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def crawl_flagship_golden() -> pa.Table:
+    """Crawl-order table of the 4-round micro crawl, from the
+    single-threaded oracle — the engine twin is
+    __ray_entry__._crawl_flagship (CRAWL_ORDER schema)."""
+    sim = _oracle_micro_run()
+    rows = sim.crawl_order  # (seq, round, depth, domain, url)
+    return pa.table({
+        "seq": pa.array([r[0] for r in rows], pa.int64()),
+        "round": pa.array([r[1] for r in rows], pa.int32()),
+        "depth": pa.array([r[2] for r in rows], pa.int32()),
+        "domain": pa.array([r[3] for r in rows], pa.string()),
+        "url": pa.array([r[4] for r in rows], pa.string()),
+    })
+
+
+def crawl_revisit_golden() -> pa.Table:
+    """Checksum-diff table of one oracle re-visit pass (drifted corpus
+    pages_v2) after the 4-round micro crawl — engine twin is
+    __ray_entry__._crawl_revisit (REVISIT schema)."""
+    sim = _oracle_micro_run(revisit=True)
+    rows = sim.revisit_rows  # (url, domain, old_sum, new_sum, changed, round)
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "domain": pa.array([r[1] for r in rows], pa.string()),
+        "old_checksum": pa.array([r[2] for r in rows], pa.string()),
+        "new_checksum": pa.array([r[3] for r in rows], pa.string()),
+        "changed": pa.array([r[4] for r in rows], pa.bool_()),
+        "round": pa.array([r[5] for r in rows], pa.int32()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "simhash_dedup_documents": simhash_pairs_golden,
     "decode_media_fake": decode_media_golden,
+    "crawl_flagship": crawl_flagship_golden,
+    "crawl_revisit": crawl_revisit_golden,
 }
 
 
