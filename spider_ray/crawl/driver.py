@@ -24,6 +24,7 @@ import logging
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 
 import pyarrow as pa
@@ -48,7 +49,39 @@ from spider_ray.oracle import METRIC_KEYS
 
 SCHEMA_VERSION = 1
 
-_TRACE = os.environ.get("SPIDER_TRACE", "") == "1"
+
+def _pin_fsspec_http_probe() -> None:
+    """Ray probes `from fsspec.implementations.http import HTTPFileSystem`
+    inside every write sink.  Without aiohttp that import fails — which Ray
+    handles (ModuleNotFoundError -> not-http) on a lone call, but two sink
+    THREADS probing at once can observe each other's partially-initialized
+    module and die with a bare ImportError Ray does not catch.  Register a
+    minimal always-successful stub once so every later probe is a cached
+    sys.modules hit: race-free and faster.  Behavior-neutral — the class is
+    only used in isinstance() checks and nothing can construct an fsspec
+    HTTP filesystem without aiohttp anyway."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return  # real module imports fine; nothing to pin
+    except ImportError:
+        pass
+    try:
+        import fsspec.implementations as _impl
+    except ImportError:
+        return  # no fsspec at all; Ray's own guard handles it
+    mod = types.ModuleType("fsspec.implementations.http")
+    mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
+    sys.modules["fsspec.implementations.http"] = mod
+    _impl.http = mod
+
+
+_pin_fsspec_http_probe()
+
+_TRACE_LEVEL = int(os.environ.get("SPIDER_TRACE", "0") or 0)
+_TRACE = _TRACE_LEVEL >= 1
 
 
 def _mark(label: str, t_prev: float) -> float:
@@ -158,9 +191,24 @@ class CrawlDriver:
         self.phase_b_driver_threshold = phase_b_driver_threshold
         self.rows_per_block = rows_per_block
         self.metrics: list[dict] = []
+        # side threads for parquet sinks + metric aggregates: sinks feed
+        # nothing downstream, so their executions overlap the round's
+        # critical path; joined before each round's manifest barrier
+        self._io_pool = ThreadPoolExecutor(max_workers=4)
 
         ctx = ray.data.DataContext.get_current()
         ctx.enable_progress_bars = False
+        # experiment knob: SPIDER_SHUFFLE=hash switches every groupby off
+        # the sort-based shuffle (whose sample+map+reduce barrier costs
+        # ~3s per execution at control-plane row counts) onto Ray's
+        # hash-shuffle aggregator actors
+        if os.environ.get("SPIDER_SHUFFLE", "") == "hash":
+            from ray.data.context import ShuffleStrategy
+
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            ctx.default_hash_shuffle_parallelism = ncpu
+            ctx.max_hash_shuffle_aggregators = max(4, ncpu // 2)
         logging.getLogger("ray.data").setLevel(logging.WARNING)
 
         self.cfg_ref = ray.put(self.cfg)
@@ -344,6 +392,8 @@ class CrawlDriver:
         tmp = _round_dir(self.ckpt_dir, k) + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
+        io_pool = self._io_pool
+        write_futs: list = []
 
         # Block-count control: Ray splits small inputs into ~2x num_cpus
         # blocks for parallelism, which at control-plane row counts turns
@@ -388,6 +438,8 @@ class CrawlDriver:
         )
         m["candidates"] = cands.count()
         tt = _mark("e1 candidates", t0)
+        if _TRACE_LEVEL >= 2:
+            print(cands.stats(), flush=True)
 
         # execution 2 — status histogram -> scope/dedupe/seen/robots metrics
         sc = {int(k): v for k, v in _value_counts(cands, "status").items()}
@@ -475,13 +527,21 @@ class CrawlDriver:
                 _filter_eq(sel_full, "sel", False), deferred=True
             )
 
-            # execution 6 — crawl-order output (O1 pinned total order)
+            # execution 6 — crawl-order output (O1 pinned total order).
+            # Sinks feed nothing downstream, so every write of the round
+            # runs on a side thread, overlapped with the next executions
+            # (order overlaps the long fetch wave); _io_pool futures are
+            # joined before the manifest/rename barrier, keeping the
+            # checkpoint atomic.
             order_ds = selected.map_batches(
                 partial(_order_project, round_no=k), batch_format="pyarrow"
             ).sort(["depth", "domain", "seq", "url"])
-            _write_ds(order_ds, os.path.join(tmp, "order"), CRAWL_ORDER,
-                      m["selected"])
-            tt = _mark("e6 order-write", tt)
+            write_futs.append(
+                io_pool.submit(_write_ds, order_ds,
+                               os.path.join(tmp, "order"), CRAWL_ORDER,
+                               m["selected"])
+            )
+            tt = _mark("e6 order-write(submit)", tt)
 
             # execution 7 — fetch (bucketed join, shuffle of the SMALL
             # side only) -> block re-split -> extract (single html pass).
@@ -520,30 +580,15 @@ class CrawlDriver:
             if _TRACE:
                 print(ex.stats(), flush=True)
 
-            # execution 9 — one aggregate for fetch + link counters
-            sums = _col_sums(ex, ["found", "n_bytes", "links_raw"] + stages._COUNTER_KEYS)
-            m["fetched"] = sums["found"]
-            m["fetch_errors"] = m["selected"] - m["fetched"]
-            m["parsed"] = m["fetched"]
-            m["bytes_in"] = sums["n_bytes"]
-            m["links_raw"] = sums["links_raw"]
-            for key in stages._COUNTER_KEYS:
-                m[key] = sums[key]
-
-            # execution 10 — extracted-text output + page store (M9
-            # checksums; consumed by run_revisit's staleness scan)
+            # execution 9 — fetch + link counter aggregate, on a side
+            # thread: it reads the already-materialized ex blocks, so it
+            # overlaps the children shuffle below; its result is only
+            # needed after e11 (for the out/pagestate row counts)
+            fut_sums = io_pool.submit(
+                _col_sums, ex,
+                ["found", "n_bytes", "links_raw"] + stages._COUNTER_KEYS,
+            )
             hits = _filter_eq(ex, "found", 1)
-            extracted_ds = hits.map_batches(
-                partial(_extracted_project, round_no=k), batch_format="pyarrow"
-            )
-            _write_ds(extracted_ds, os.path.join(tmp, "out"), EXTRACTED,
-                      m["fetched"])
-            pagestate_ds = hits.map_batches(
-                partial(_pagestate_project, round_no=k), batch_format="pyarrow"
-            )
-            _write_ds(pagestate_ds, os.path.join(tmp, "pagestate"), PAGESTATE,
-                      m["fetched"])
-            tt = _mark("e9-10 sums+out-writes", tt)
 
             # execution 11 — children pass: explode -> dedupe -> seen check
             ch = (
@@ -569,6 +614,38 @@ class CrawlDriver:
             )
             m["links_out"] = ch.count()
             tt = _mark("e11 children", tt)
+
+            # resolve e9's sums (ran overlapped with e11) and launch the
+            # extracted-text + page-store writes (execution 10) on side
+            # threads — both consume the already-materialized hit blocks
+            # and feed nothing downstream this round (run_revisit reads
+            # pagestate from the finished checkpoint)
+            sums = fut_sums.result()
+            m["fetched"] = sums["found"]
+            m["fetch_errors"] = m["selected"] - m["fetched"]
+            m["parsed"] = m["fetched"]
+            m["bytes_in"] = sums["n_bytes"]
+            m["links_raw"] = sums["links_raw"]
+            for key in stages._COUNTER_KEYS:
+                m[key] = sums[key]
+            extracted_ds = hits.map_batches(
+                partial(_extracted_project, round_no=k), batch_format="pyarrow"
+            )
+            write_futs.append(
+                io_pool.submit(_write_ds, extracted_ds,
+                               os.path.join(tmp, "out"), EXTRACTED,
+                               m["fetched"])
+            )
+            pagestate_ds = hits.map_batches(
+                partial(_pagestate_project, round_no=k), batch_format="pyarrow"
+            )
+            write_futs.append(
+                io_pool.submit(_write_ds, pagestate_ds,
+                               os.path.join(tmp, "pagestate"), PAGESTATE,
+                               m["fetched"])
+            )
+            tt = _mark("e9-10 sums+out-writes(submit)", tt)
+
             # execution 12 — child status histogram
             if m["links_out"]:
                 cc = {int(k): v for k, v in _value_counts(ch, "status").items()}
@@ -635,6 +712,12 @@ class CrawlDriver:
                                   n_next)
 
         tt = _mark("final frontier-write", tt)
+        # join every side-thread sink before the barrier: the manifest
+        # lists outputs and the rename publishes them, so all writes
+        # must be durable first (exceptions re-raise here)
+        for fut in write_futs:
+            fut.result()
+        tt = _mark("write-join", tt)
         # round barrier: snapshot state, manifest, atomic rename (§4.4)
         self._snapshot_state(tmp, k)
         m["wall_s"] = round(time.monotonic() - t0, 3)
@@ -845,6 +928,7 @@ class CrawlDriver:
             ray.kill(a)
         self.shards = []
         self.gates = []
+        self._io_pool.shutdown(wait=False)
 
 
 def _order_project(t: pa.Table, round_no: int) -> pa.Table:
