@@ -198,17 +198,11 @@ class CrawlDriver:
 
         ctx = ray.data.DataContext.get_current()
         ctx.enable_progress_bars = False
-        # experiment knob: SPIDER_SHUFFLE=hash switches every groupby off
-        # the sort-based shuffle (whose sample+map+reduce barrier costs
-        # ~3s per execution at control-plane row counts) onto Ray's
-        # hash-shuffle aggregator actors
-        if os.environ.get("SPIDER_SHUFFLE", "") == "hash":
-            from ray.data.context import ShuffleStrategy
-
-            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-            ctx.default_hash_shuffle_parallelism = ncpu
-            ctx.max_hash_shuffle_aggregators = max(4, ncpu // 2)
+        # note: ShuffleStrategy.HASH_SHUFFLE was evaluated as a replacement
+        # for the sort-based groupby shuffle (whose sample+map+reduce
+        # barrier costs ~0.5s per execution at control-plane row counts)
+        # but ray 2.49.2's HashShuffleAggregator.finalize dies with
+        # ArrowInvalid on this pipeline's mixed/empty-block schemas
         logging.getLogger("ray.data").setLevel(logging.WARNING)
 
         self.cfg_ref = ray.put(self.cfg)

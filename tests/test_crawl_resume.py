@@ -75,6 +75,39 @@ def test_resume_is_byte_identical(ray_session, micro_fixture, tmp_path_factory,
         assert not diffs
 
 
+def test_sink_failure_aborts_publish(ray_session, micro_fixture,
+                                     tmp_path_factory, monkeypatch):
+    """Sinks run on side threads overlapped with the round's critical
+    path; a failed sink must re-raise at the write-join barrier BEFORE
+    the manifest/rename publishes the round, leaving only a .tmp dir —
+    i.e. exactly the mid-round-crash state resume already handles."""
+    import spider_ray.crawl.driver as drv_mod
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_sinkfail"))
+    real_write = drv_mod._write_ds
+
+    def boom(ds, dirpath, schema, n_rows):
+        if dirpath.endswith("out"):
+            raise RuntimeError("sink exploded")
+        return real_write(ds, dirpath, schema, n_rows)
+
+    monkeypatch.setattr(drv_mod, "_write_ds", boom)
+    d1 = drv_mod.CrawlDriver(micro_fixture, ckpt)
+    with pytest.raises(RuntimeError, match="sink exploded"):
+        d1.run(max_rounds=1)
+    d1.close()
+    assert not os.path.exists(os.path.join(ckpt, "round=0001"))
+    monkeypatch.undo()
+    # recovery: a fresh driver replays the aborted round from scratch
+    d2 = drv_mod.CrawlDriver(micro_fixture, ckpt)
+    d2.run(max_rounds=1)
+    d2.close()
+    with open(os.path.join(ckpt, "round=0001", "manifest.json")) as f:
+        import json
+
+        assert json.load(f)["round"] == 1
+
+
 def test_resume_after_midround_crash(ray_session, micro_fixture,
                                      tmp_path_factory, baseline_ckpt):
     """A crash MID-ROUND leaves a round=NNNN.tmp dir with partial
