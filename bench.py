@@ -294,6 +294,17 @@ def run_scaling() -> dict:
         "hw_ceiling_4to16_pure_python": calib["hw_scaling_efficiency"].get("4->16"),
     }
     os.makedirs("BENCH", exist_ok=True)
+    # preserve hand-written analysis sections (## ...) across re-runs;
+    # only the protocol header + measured table are regenerated
+    extra = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        i = old.find("\n## ")
+        if i != -1:
+            extra = old[i:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — measured sandbox numbers\n\n"
@@ -303,22 +314,20 @@ def run_scaling() -> dict:
             "discovered-variant wave) in fresh processes at "
             "`ray.init(address='local', num_cpus=N)` for\nN in {4, 8, 16, "
             "32}, identical constants and identical pre-built, "
-            "page-cache-warm input.\nTwo interleaved passes per level, "
-            "best-of per level (single-box runs drift ~2x\nrun-to-run; "
-            "best-of measures the engine, not the interference).\n"
+            "page-cache-warm input.\n"
+            f"{n_passes} interleaved passes per level, "
+            "best-of per level (single-box runs drift up to ~15%\n"
+            "run-to-run; best-of measures the engine, not the "
+            "interference).  The Ray worker pool\nis spawned before the "
+            "clock starts (a long-lived cluster's pool is already up; "
+            "lazy\nworker fork is process-spawn cost, not engine).\n"
             "Efficiency(N->4N) = urls_per_s_4N / "
             "(4 * urls_per_s_N); target >= 0.8 (BASELINE.json).\n\n"
-            "Headline pair: 4 -> 16.  This single box saturates its memory "
-            "bus around 16 worker\nprocesses — BENCH/calibrate.py shows "
-            "pure-multiprocessing html extraction (no Ray)\ngains almost "
-            "nothing from 16 to 32 processes — so the 8 -> 32 pair "
-            "measures machine\nsaturation, not engine scaling.  Real N -> "
-            "4N node clusters multiply memory bandwidth\nwith node count, "
-            "which the 4 -> 16 regime models faithfully.\n\n"
             "| metric | value |\n| --- | --- |\n"
             + "".join(f"| {k} | {v} |\n" for k, v in result.items())
             + f"\nEnvironment: python {sys.version.split()[0]}, "
             f"ray {__import__('ray').__version__}.\n"
+            + extra
         )
     return result
 

@@ -388,6 +388,7 @@ class CrawlDriver:
         os.makedirs(tmp, exist_ok=True)
         io_pool = self._io_pool
         write_futs: list = []
+        fut_gates = None
 
         # Block-count control: Ray splits small inputs into ~2x num_cpus
         # blocks for parallelism, which at control-plane row counts turns
@@ -584,6 +585,51 @@ class CrawlDriver:
             )
             hits = _filter_eq(ex, "found", 1)
 
+            # execution 13 — per-domain fetch totals -> domain gates
+            # (A4 rate), on a side thread overlapping the children
+            # shuffle: nothing else this round touches gate fetch state
+            # (robots lookups all happened in e1).  Joined before the
+            # state snapshot, which must include this round's totals.
+            # Small rounds merge shuffle-free partials on the driver;
+            # above the threshold (unbounded domain cardinality at web
+            # scale) partials group by gate shard and each group pushes
+            # its counts to its gate actor from the task, so the driver
+            # never holds the histogram.  Partial rows <= fetched, so
+            # gating on fetched bounds the driver path exactly.
+            def _push_gates() -> None:
+                fetched = fut_sums.result()["found"]
+                if fetched <= self.phase_b_driver_threshold:
+                    by_dom = _value_counts(hits, "domain")
+                    by_gate: dict[int, tuple[list, list]] = {}
+                    for dom, cnt in by_dom.items():
+                        g = gate_shard(dom, cfg.gate_pool_size)
+                        by_gate.setdefault(g, ([], []))[0].append(dom)
+                        by_gate[g][1].append(int(cnt))
+                    ray.get(
+                        [
+                            self.gates[g].note_fetched.remote(doms, cnts, k)
+                            for g, (doms, cnts) in by_gate.items()
+                        ]
+                    )
+                else:
+                    (
+                        hits.map_batches(
+                            partial(stages.domain_count_partial,
+                                    pool_size=cfg.gate_pool_size),
+                            batch_format="pyarrow",
+                        )
+                        .groupby("gate")
+                        .map_groups(
+                            partial(stages.gate_push_group,
+                                    gate_handles=self.gates, round_no=k),
+                            batch_format="pandas",
+                        )
+                        .materialize()
+                    )
+                ray.get([g.commit_fetched.remote() for g in self.gates])
+
+            fut_gates = io_pool.submit(_push_gates)
+
             # execution 11 — children pass: explode -> dedupe -> seen check
             ch = (
                 ex.map_batches(
@@ -648,44 +694,7 @@ class CrawlDriver:
                 m["links_seen"] = cc.get(stages.CH_SEEN, 0)
                 children_new = _normalize_frontier(_filter_eq(ch, "status", 0))
 
-            # execution 13 — per-domain fetch totals -> domain gates
-            # (A4 rate).  Small rounds merge shuffle-free partials on
-            # the driver; above the threshold (unbounded domain
-            # cardinality at web scale) partials group by gate shard
-            # and each group pushes its counts to its gate actor from
-            # the task, so the driver never holds the histogram.
-            # Partial rows <= fetched, so gating on m["fetched"] bounds
-            # the driver path exactly.
-            if m["fetched"] <= self.phase_b_driver_threshold:
-                by_dom = _value_counts(hits, "domain")
-                by_gate: dict[int, tuple[list, list]] = {}
-                for dom, cnt in by_dom.items():
-                    g = gate_shard(dom, cfg.gate_pool_size)
-                    by_gate.setdefault(g, ([], []))[0].append(dom)
-                    by_gate[g][1].append(int(cnt))
-                ray.get(
-                    [
-                        self.gates[g].note_fetched.remote(doms, cnts, k)
-                        for g, (doms, cnts) in by_gate.items()
-                    ]
-                )
-            else:
-                (
-                    hits.map_batches(
-                        partial(stages.domain_count_partial,
-                                pool_size=cfg.gate_pool_size),
-                        batch_format="pyarrow",
-                    )
-                    .groupby("gate")
-                    .map_groups(
-                        partial(stages.gate_push_group,
-                                gate_handles=self.gates, round_no=k),
-                        batch_format="pandas",
-                    )
-                    .materialize()
-                )
-            ray.get([g.commit_fetched.remote() for g in self.gates])
-            tt = _mark("e12-13 hists+gates", tt)
+            tt = _mark("e12 child-hist", tt)
         else:
             _write_ds(None, os.path.join(tmp, "order"), CRAWL_ORDER, 0)
             _write_ds(None, os.path.join(tmp, "out"), EXTRACTED, 0)
@@ -702,18 +711,24 @@ class CrawlDriver:
             nxt = deferred.union(children_new)
         else:
             nxt = deferred if deferred is not None else children_new
-        m["enqueued"] = _write_ds(nxt, os.path.join(tmp, "frontier"), FRONTIER,
-                                  n_next)
-
-        tt = _mark("final frontier-write", tt)
-        # join every side-thread sink before the barrier: the manifest
-        # lists outputs and the rename publishes them, so all writes
-        # must be durable first (exceptions re-raise here)
+        m["enqueued"] = n_next
+        write_futs.append(
+            io_pool.submit(_write_ds, nxt, os.path.join(tmp, "frontier"),
+                           FRONTIER, n_next)
+        )
+        tt = _mark("final frontier-write(submit)", tt)
+        # round barrier (§4.4): gate totals must land before the state
+        # snapshot records them; the snapshot itself overlaps the still
+        # in-flight sink writes; every sink joins before the manifest
+        # lists outputs and the rename publishes them (sink exceptions
+        # re-raise here, leaving only the .tmp dir)
+        if fut_gates is not None:
+            fut_gates.result()
+        self._snapshot_state(tmp, k)
+        tt = _mark("gates-join+snapshot", tt)
         for fut in write_futs:
             fut.result()
         tt = _mark("write-join", tt)
-        # round barrier: snapshot state, manifest, atomic rename (§4.4)
-        self._snapshot_state(tmp, k)
         m["wall_s"] = round(time.monotonic() - t0, 3)
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(
