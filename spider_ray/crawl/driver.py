@@ -178,6 +178,7 @@ class CrawlDriver:
         phase_b_driver_threshold: int = 200_000,
         rows_per_block: int = 4096,
         pages_dir: str | None = None,
+        actor_namespace: str | None = None,
     ) -> None:
         self.fixture_dir = fixture_dir
         self.ckpt_dir = ckpt_dir
@@ -206,13 +207,45 @@ class CrawlDriver:
         logging.getLogger("ray.data").setLevel(logging.WARNING)
 
         self.cfg_ref = ray.put(self.cfg)
-        self.shards = [
-            CuckooShard.remote(i, self.cfg.seen_capacity_per_shard, exact_seen)
-            for i in range(self.cfg.num_shards)
-        ]
-        self.gates = [
-            DomainGate.remote(i, self.cfg) for i in range(self.cfg.gate_pool_size)
-        ]
+        # T1/T2 singleton state actors.  Default: plain handles owned by
+        # this driver (die with it; resume rebuilds from snapshots —
+        # tests prove byte-identity).  With actor_namespace set, the
+        # SURVEY §2.3 deployment form: detached NAMED actors that
+        # survive the driver and are re-attached by name
+        # (get_if_exists), so on a long-lived cluster a crashed/new
+        # driver process re-joins live state instead of recreating it,
+        # and cooperating drivers share one seen-set authority.  Resume
+        # semantics are unchanged either way: prepare() loads the last
+        # checkpoint's snapshots, and load()/load_state() fully replace
+        # actor state, so re-attach + load == rebuild + load.
+        self.actor_namespace = actor_namespace
+        if actor_namespace is None:
+            self.shards = [
+                CuckooShard.remote(i, self.cfg.seen_capacity_per_shard, exact_seen)
+                for i in range(self.cfg.num_shards)
+            ]
+            self.gates = [
+                DomainGate.remote(i, self.cfg)
+                for i in range(self.cfg.gate_pool_size)
+            ]
+        else:
+            def _named(cls, name, *args):
+                return cls.options(
+                    name=name,
+                    namespace=actor_namespace,
+                    lifetime="detached",
+                    get_if_exists=True,
+                ).remote(*args)
+
+            self.shards = [
+                _named(CuckooShard, f"seen:{i}", i,
+                       self.cfg.seen_capacity_per_shard, exact_seen)
+                for i in range(self.cfg.num_shards)
+            ]
+            self.gates = [
+                _named(DomainGate, f"gate:{i}", i, self.cfg)
+                for i in range(self.cfg.gate_pool_size)
+            ]
         # the bucketed corpus may be shared across crawls of the same
         # fixture (it is immutable once built)
         self.pages_dir = pages_dir or os.path.join(ckpt_dir, "pages_bucketed")

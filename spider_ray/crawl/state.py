@@ -158,8 +158,12 @@ class DomainGate:
         }
 
     def load_state(self, domains: list[str], fetched: list[int], round_no: int) -> None:
+        """Full state replacement from a checkpoint.  Clears any counts
+        staged by a crashed round — matters when a resuming driver
+        re-attaches to live detached actors rather than fresh ones."""
         self.fetched_total = dict(zip(domains, map(int, fetched)))
         self.rounds_seen = round_no
+        self.staged.clear()
 
 
 def gate_shard(domain: str, pool_size: int) -> int:

@@ -187,3 +187,43 @@ def test_salting_preserves_semantics(ray_session, micro_fixture,
     for mo, me in zip(base_metrics, metrics):
         diffs = {k: (mo[k], me[k]) for k in mo if k != "wall_s" and mo[k] != me[k]}
         assert not diffs
+
+
+def test_detached_named_actors_reattach(ray_session, micro_fixture,
+                                        tmp_path_factory, baseline_ckpt):
+    """SURVEY §2.3 deployment form: with actor_namespace set, T1/T2 are
+    detached NAMED actors.  They survive the driver that created them;
+    a second driver in the same namespace re-attaches to the SAME
+    actors (get_if_exists) instead of spawning fresh ones, and resume
+    from checkpoint stays byte-identical; close() removes them."""
+    import ray
+
+    from spider_ray.crawl.driver import CrawlDriver
+
+    base_ckpt, base_metrics = baseline_ckpt
+    ns = f"t-detached-{os.getpid()}"
+    ckpt = str(tmp_path_factory.mktemp("ckpt_named"))
+    d1 = CrawlDriver(micro_fixture, ckpt, actor_namespace=ns)
+    d1.run(max_rounds=3)
+    shard0_id = d1.shards[0]._actor_id
+    gate0_id = d1.gates[0]._actor_id
+    d1._io_pool.shutdown(wait=False)
+    del d1  # driver gone; detached actors must outlive it
+    assert ray.get_actor("seen:0", namespace=ns)._actor_id == shard0_id
+
+    d2 = CrawlDriver(micro_fixture, ckpt, actor_namespace=ns)
+    # re-attached, not recreated
+    assert d2.shards[0]._actor_id == shard0_id
+    assert d2.gates[0]._actor_id == gate0_id
+    d2.run(max_rounds=MAX_ROUNDS - 3)
+    assert d2.start_round == 4
+    for sub, cols in (
+        ("order", ORDER_KEY),
+        ("out", ["url", "text", "lang", "round", "seq"]),
+    ):
+        pd.testing.assert_frame_equal(
+            _collect(ckpt, sub, cols), _collect(base_ckpt, sub, cols)
+        )
+    d2.close()  # kills the detached actors: the namespace is now empty
+    with pytest.raises(ValueError):
+        ray.get_actor("seen:0", namespace=ns)
