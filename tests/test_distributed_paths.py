@@ -46,3 +46,31 @@ def test_distributed_select_and_gate_push_match_oracle(
     got = doms.set_index("domain")["fetched_total"].sort_index()
     assert got.astype("int64").to_dict() == want.astype("int64").to_dict()
     assert int(got.sum()) == sum(m["fetched"] for m in sim.metrics)
+
+
+def test_gate_load_state_clears_crash_staged_counts(ray_session, micro_fixture):
+    """load_state is FULL state replacement: counts staged by a crashed
+    round must not survive a checkpoint load (matters when a resuming
+    driver re-attaches to live detached actors — stale staged counts
+    would double into fetched_total at the next barrier and skew the
+    A4 rate)."""
+    import ray
+
+    from spider_ray.core.config import load_crawl_config
+    from spider_ray.crawl.state import DomainGate
+
+    cfg = load_crawl_config(micro_fixture)
+    gate = DomainGate.remote(0, cfg)
+    try:
+        # a crashed round-3 push, never committed
+        ray.get(gate.note_fetched.remote(["a.example"], [7], 3))
+        # resume: checkpoint state from round 2 replaces everything
+        ray.get(gate.load_state.remote(["a.example", "b.example"], [4, 2], 2))
+        ray.get(gate.commit_fetched.remote())  # must fold NOTHING extra
+        st = ray.get(gate.export_state.remote())
+        assert dict(zip(st["domain"], st["fetched_total"])) == {
+            "a.example": 4,
+            "b.example": 2,
+        }
+    finally:
+        ray.kill(gate)
