@@ -70,10 +70,21 @@ def fingerprint_golden(sf_dir: str = SF_DIR) -> pa.Table:
     })
 
 
+def _word_hash64(w: str) -> int:
+    """The engine's shared word-hash PRIMITIVE (pandas siphash13, fixed
+    key) — one scalar call.  The hash primitive is part of the pinned
+    spec and intentionally shared; everything downstream of it (bit
+    accumulation, banding, pairing) stays independently reimplemented."""
+    import numpy as np
+    import pandas as pd
+
+    return int(pd.util.hash_array(np.asarray([w], dtype=object))[0])
+
+
 def _simhash_seq(text: str) -> int:
     counts = [0] * 64
     for w in sorted(set(x.lower() for x in re.findall(r"\w+", text))):
-        h = int.from_bytes(hashlib.sha1(w.encode()).digest()[:8], "big")
+        h = _word_hash64(w)
         for i in range(64):
             counts[i] += 1 if (h >> (63 - i)) & 1 else -1
     out = 0

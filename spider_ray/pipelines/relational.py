@@ -67,9 +67,9 @@ def agg_by_returnflag(sf_dir: str):
         t = t.append_column("base_c", cents(t.column("l_extendedprice")))
         return t.append_column("disc_c", cents(disc_price))
 
-    ds = ds.map_batches(add_cents, batch_format="pyarrow")
     out = ops.partial_sum_agg(
         ds,
+        pre=add_cents,  # fused into the combine pass (VERDICT r02 #1)
         keys=["l_returnflag", "l_linestatus"],
         sums={
             "qty_c": "sum_qty_cents",
@@ -205,10 +205,9 @@ def orders_by_month(sf_dir: str):
         ).cast(pa.int64())
         return pa.table({"month": m, "price_c": cents})
 
-    ds = ds.map_batches(add_month, batch_format="pyarrow")
     return ops.partial_sum_agg(
-        ds, keys=["month"], sums={"price_c": "total_price_cents"},
-        counts="n_orders",
+        ds, pre=add_month, keys=["month"],
+        sums={"price_c": "total_price_cents"}, counts="n_orders",
     )
 
 
@@ -220,11 +219,12 @@ def events_asof_signup(sf_dir: str):
     group — the sort+map_groups skeleton for ordered joins."""
     ds = ops.read_table(sf_dir, "events",
                         columns=["event_id", "ts", "user_id", "event_type"])
+    n_buckets = ops.cluster_parts()  # scales with the cluster, not 16
 
     def add_bucket(t: pa.Table) -> pa.Table:
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
         return t.append_column(
-            "__bucket", pa.array((uid % 16).astype(np.int32))
+            "__bucket", pa.array((uid % n_buckets).astype(np.int32))
         )
 
     def asof_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -267,9 +267,8 @@ def events_tumbling_window(sf_dir: str):
             }
         )
 
-    ds = ds.map_batches(add_window, batch_format="pyarrow")
     return ops.partial_sum_agg(
-        ds, keys=["event_type", "window_start"],
+        ds, pre=add_window, keys=["event_type", "window_start"],
         sums={"value_c": "sum_value_cents"}, counts="n",
     )
 
