@@ -185,13 +185,15 @@ def oracle_sql() -> dict[str, str]:
     out.update(ANN_ORACLE_SQL)
     out.update(MULTIMODAL_ORACLE_SQL)
     # pinned sequential-simulator goldens for the crawl queries (see
-    # spider_ray/goldens.py; regenerate with `python -m spider_ray.goldens`)
-    out["crawl_flagship"] = """
-        SELECT seq, round, depth, domain, url
-        FROM read_parquet('/root/repo/goldens/crawl_flagship.parquet')
-    """
-    out["crawl_revisit"] = """
-        SELECT url, domain, old_checksum, new_checksum, changed, round
-        FROM read_parquet('/root/repo/goldens/crawl_revisit.parquet')
-    """
+    # spider_ray/goldens.py; regenerate with `python -m spider_ray.goldens`);
+    # paths derive from the package location (ADVICE r02)
+    from spider_ray.goldens import golden_sql
+
+    out["crawl_flagship"] = golden_sql(
+        "crawl_flagship", "seq, round, depth, domain, url"
+    )
+    out["crawl_revisit"] = golden_sql(
+        "crawl_revisit",
+        "url, domain, old_checksum, new_checksum, changed, round",
+    )
     return out

@@ -29,6 +29,16 @@ SF_DIR = "/root/testdata/sf0.01"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "goldens")
 
+def golden_sql(name: str, columns: str = "*") -> str:
+    """DuckDB oracle that reads the pinned golden parquet — path built
+    from the package location so a checkout anywhere works (ADVICE r02:
+    the hardcoded /root/repo path broke silently elsewhere)."""
+    return (
+        f"SELECT {columns} "
+        f"FROM read_parquet('{os.path.join(OUT_DIR, name)}.parquet')"
+    )
+
+
 _MASK = (1 << 64) - 1
 _B = 1099511628211
 _WIN = 16
@@ -141,6 +151,35 @@ def decode_media_golden() -> pa.Table:
     })
 
 
+def decode_media_features_golden() -> pa.Table:
+    """Sequential fake-decode with the feature vector EXPLODED to
+    (media_id, width, height, feat_idx, feat_e6) integer rows — the
+    hashable gate twin of the raw float-list feature pipeline."""
+    import numpy as np
+
+    mids, ws, hs, idxs, e6s = [], [], [], [], []
+    for i in range(256):
+        if i % 3 == 0:
+            continue  # audio/fake rows are filtered out by the pipeline
+        seed = hashlib.sha1(f"media{i}".encode()).digest()
+        payload = seed * (8 + i % 23)
+        digest = hashlib.sha1(payload).digest()
+        for idx in range(16):
+            f32 = np.float32(digest[idx]) / np.float32(255.0)
+            mids.append(i)
+            ws.append(64 + digest[0])
+            hs.append(64 + digest[1])
+            idxs.append(idx)
+            e6s.append(int(np.floor(np.float64(f32) * 1_000_000.0 + 0.5)))
+    return pa.table({
+        "media_id": pa.array(mids, pa.int64()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "feat_idx": pa.array(idxs, pa.int32()),
+        "feat_e6": pa.array(e6s, pa.int64()),
+    })
+
+
 def _oracle_micro_run(revisit: bool = False):
     """Sequential oracle simulator on a FRESH micro fixture — the same
     deterministic corpus __ray_entry__'s crawl queries run on, and the
@@ -198,6 +237,7 @@ GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "simhash_dedup_documents": simhash_pairs_golden,
     "decode_media_fake": decode_media_golden,
+    "decode_media_features": decode_media_features_golden,
     "crawl_flagship": crawl_flagship_golden,
     "crawl_revisit": crawl_revisit_golden,
 }

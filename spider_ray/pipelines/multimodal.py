@@ -22,10 +22,13 @@ inside a worker heap (SURVEY.md §4.2 memory row).
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from spider_ray.goldens import golden_sql
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -149,14 +152,46 @@ def decode_media_fake_query(sf_dir: str | None = None):
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def decode_media_features_query(sf_dir: str | None = None):
+    """Gate form of the raw feature pipeline: the float32 feature list
+    is EXPLODED to (media_id, width, height, feat_idx, feat_e6) integer
+    rows so the driver's value hash applies (a float-list column was
+    round 2's last unhashable output — VERDICT r02 next-round #1a).
+    Oracle: pinned sequential golden (spider_ray/goldens.py)."""
+    ds = decode_media_pipeline(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        feats = t.column("feature").to_pylist()
+        lens = np.array([len(f) for f in feats], np.int64)
+        vals = (np.concatenate([np.asarray(f, np.float32) for f in feats])
+                if len(feats) else np.zeros(0, np.float32))
+        e6 = np.floor(vals.astype(np.float64) * 1_000_000.0 + 0.5).astype(
+            np.int64
+        )
+        idx = (np.concatenate([np.arange(n, dtype=np.int32) for n in lens])
+               if len(lens) else np.zeros(0, np.int32))
+        rep = lambda col: np.repeat(  # noqa: E731
+            col.to_numpy(zero_copy_only=False), lens
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(rep(t.column("media_id")), pa.int64()),
+                "width": pa.array(rep(t.column("width")), pa.int32()),
+                "height": pa.array(rep(t.column("height")), pa.int32()),
+                "feat_idx": pa.array(idx, pa.int32()),
+                "feat_e6": pa.array(e6, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 MULTIMODAL_ORACLE_SQL = {
-    "decode_media_fake": """
-        SELECT media_id, width, height, feat_checksum
-        FROM read_parquet('/root/repo/goldens/decode_media_fake.parquet')
-    """,
+    "decode_media_fake": golden_sql("decode_media_fake"),
+    "decode_media_features": golden_sql("decode_media_features"),
 }
 
 MULTIMODAL_QUERIES = {
     "decode_media_fake": decode_media_fake_query,
-    "decode_media_features": decode_media_pipeline,
+    "decode_media_features": decode_media_features_query,
 }

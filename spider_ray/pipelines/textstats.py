@@ -18,6 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 from spider_ray import ops
+from spider_ray.goldens import golden_sql
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was"},
@@ -270,10 +271,9 @@ TEXT_ORACLE_SQL = {
     # pinned goldens from the independent sequential reimplementation
     # (spider_ray/goldens.py — regenerate with `python -m
     # spider_ray.goldens`); valid for the driver's sf0.01 gate input
-    "fingerprint_documents": """
-        SELECT doc_id, fingerprint
-        FROM read_parquet('/root/repo/goldens/fingerprint_documents.parquet')
-    """,
+    "fingerprint_documents": golden_sql(
+        "fingerprint_documents", "doc_id, fingerprint"
+    ),
 }
 
 TEXT_QUERIES = {
