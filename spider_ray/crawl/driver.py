@@ -72,8 +72,14 @@ def _pin_fsspec_http_probe() -> None:
         import fsspec.implementations as _impl
     except ImportError:
         return  # no fsspec at all; Ray's own guard handles it
+    def _no_aiohttp(self, *a, **k):
+        # loudly unusable (ADVICE r02): isinstance probes on the class
+        # still work, but accidental CONSTRUCTION of the stub fails with
+        # the message the real import failure would have given
+        raise ImportError("HTTPFileSystem requires aiohttp, which is not installed")
+
     mod = types.ModuleType("fsspec.implementations.http")
-    mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
+    mod.HTTPFileSystem = type("HTTPFileSystem", (), {"__init__": _no_aiohttp})
     sys.modules["fsspec.implementations.http"] = mod
     _impl.http = mod
 
@@ -179,6 +185,8 @@ class CrawlDriver:
         rows_per_block: int = 4096,
         pages_dir: str | None = None,
         actor_namespace: str | None = None,
+        fetch_mode: str = "corpus",
+        fetcher_kwargs: dict | None = None,
     ) -> None:
         self.fixture_dir = fixture_dir
         self.ckpt_dir = ckpt_dir
@@ -191,6 +199,15 @@ class CrawlDriver:
         self.extract_batch_size = extract_batch_size
         self.phase_b_driver_threshold = phase_b_driver_threshold
         self.rows_per_block = rows_per_block
+        # T3 swap point (SURVEY §2.3): "corpus" fetches by the bucketed
+        # J1 join against the pages fixture; "live" runs the
+        # LiveFetcher actor pool (politeness reserved from the T2
+        # gates; transport stubbed in this sandbox — fetcher_kwargs
+        # defaults to fake=True).
+        if fetch_mode not in ("corpus", "live"):
+            raise ValueError(f"unknown fetch_mode {fetch_mode!r}")
+        self.fetch_mode = fetch_mode
+        self.fetcher_kwargs = fetcher_kwargs or {}
         self.metrics: list[dict] = []
         # side threads for parquet sinks + metric aggregates: sinks feed
         # nothing downstream, so their executions overlap the round's
@@ -360,9 +377,19 @@ class CrawlDriver:
     def prepare(self) -> None:
         self._prepared = True
         os.makedirs(self.ckpt_dir, exist_ok=True)
-        self.prepare_pages()
+        if self.fetch_mode == "corpus":
+            # live mode needs no pages corpus (a live fixture may ship
+            # only seeds + robots); revisit builds its own layout
+            self.prepare_pages()
         last = self.latest_round()
         if last is None:
+            if self.actor_namespace is not None:
+                # fresh crawl, but get_if_exists may have RE-ATTACHED to
+                # detached actors a prior crawl left in this namespace —
+                # silently inheriting its seen-set/gate totals corrupts
+                # selection and dedupe (ADVICE r02).  Explicitly reset
+                # every shard and gate to the empty state first.
+                ray.get([a.reset.remote() for a in self.shards + self.gates])
             self.init_round0()
             self.start_round = 1
             return
@@ -374,22 +401,28 @@ class CrawlDriver:
             raise RuntimeError("resume with a different config is not allowed")
         seen_dir = os.path.join(rd, "seen")
         ray.get([s.load.remote(seen_dir) for s in self.shards])
+        # load_state on EVERY gate — a full replacement.  Gates whose
+        # domains are absent from the snapshot (none fetched yet, or a
+        # crashed round staged counts on live detached actors) must be
+        # reset to empty, not skipped (ADVICE r02).
+        by_gate: dict[int, tuple[list, list]] = {
+            g: ([], []) for g in range(self.cfg.gate_pool_size)
+        }
         dpath = os.path.join(rd, "domains.parquet")
         if os.path.exists(dpath):
             dt = pq.read_table(dpath)
-            by_gate: dict[int, tuple[list, list]] = {}
             for dom, tot in zip(
                 dt.column("domain").to_pylist(), dt.column("fetched_total").to_pylist()
             ):
                 g = gate_shard(dom, self.cfg.gate_pool_size)
-                by_gate.setdefault(g, ([], []))[0].append(dom)
+                by_gate[g][0].append(dom)
                 by_gate[g][1].append(tot)
-            ray.get(
-                [
-                    self.gates[g].load_state.remote(doms, tots, last)
-                    for g, (doms, tots) in by_gate.items()
-                ]
-            )
+        ray.get(
+            [
+                self.gates[g].load_state.remote(doms, tots, last)
+                for g, (doms, tots) in by_gate.items()
+            ]
+        )
         self.start_round = last + 1
 
     # -- state snapshot --------------------------------------------------
@@ -586,24 +619,42 @@ class CrawlDriver:
             n_fetch_tasks = min(
                 self.fetch_buckets, max(8, m["selected"] // 500 + 1)
             )
-            ex = (
-                selected.repartition(n_fetch_tasks)
-                .map_batches(
-                    partial(stages.add_fetch_bucket, n_buckets=self.fetch_buckets),
+            base = selected.repartition(n_fetch_tasks)
+            if self.fetch_mode == "live":
+                from spider_ray.crawl.fetcher import LiveFetcher
+
+                fkw = {
+                    "fake": True,
+                    "gate_handles": self.gates,
+                    "pool_size": cfg.gate_pool_size,
+                    **self.fetcher_kwargs,
+                }
+                fetched = base.map_batches(
+                    LiveFetcher,
+                    fn_constructor_kwargs=fkw,
                     batch_format="pyarrow",
+                    batch_size=64,
+                    concurrency=(2, max(4, n_fetch_tasks)),
+                    num_cpus=0.5,
                 )
-                .groupby("bucket")
-                .map_groups(
-                    partial(stages.fetch_group, pages_dir=self.pages_dir),
-                    batch_format="pyarrow",
+            else:
+                fetched = (
+                    base.map_batches(
+                        partial(stages.add_fetch_bucket,
+                                n_buckets=self.fetch_buckets),
+                        batch_format="pyarrow",
+                    )
+                    .groupby("bucket")
+                    .map_groups(
+                        partial(stages.fetch_group, pages_dir=self.pages_dir),
+                        batch_format="pyarrow",
+                    )
                 )
-                .map_batches(
-                    partial(stages.extract_batch, cfg_ref=cfg_ref),
-                    batch_format="pyarrow",
-                    batch_size=self.extract_batch_size,
-                )
-                .materialize()
-            )
+            ex = fetched.map_batches(
+                partial(stages.extract_batch, cfg_ref=cfg_ref),
+                batch_format="pyarrow",
+                batch_size=self.extract_batch_size,
+            ).materialize()
             tt = _mark("e7 fetch+extract", tt)
             if _TRACE:
                 print(ex.stats(), flush=True)
@@ -612,10 +663,10 @@ class CrawlDriver:
             # thread: it reads the already-materialized ex blocks, so it
             # overlaps the children shuffle below; its result is only
             # needed after e11 (for the out/pagestate row counts)
-            fut_sums = io_pool.submit(
-                _col_sums, ex,
-                ["found", "n_bytes", "links_raw"] + stages._COUNTER_KEYS,
-            )
+            sum_cols = ["found", "n_bytes", "links_raw"] + stages._COUNTER_KEYS
+            if self.fetch_mode == "live":
+                sum_cols.append("timeout")
+            fut_sums = io_pool.submit(_col_sums, ex, sum_cols)
             hits = _filter_eq(ex, "found", 1)
 
             # execution 13 — per-domain fetch totals -> domain gates
@@ -696,6 +747,8 @@ class CrawlDriver:
             sums = fut_sums.result()
             m["fetched"] = sums["found"]
             m["fetch_errors"] = m["selected"] - m["fetched"]
+            if self.fetch_mode == "live":
+                m["fetch_timeouts"] = sums["timeout"]
             m["parsed"] = m["fetched"]
             m["bytes_in"] = sums["n_bytes"]
             m["links_raw"] = sums["links_raw"]
@@ -962,12 +1015,16 @@ class CrawlDriver:
         os.rename(tmp, final_dir)
         return m
 
-    def close(self) -> None:
-        """Kill the state actors.  Call when done with a driver whose
-        checkpoints you no longer need live (tests, bench loops); a
-        fresh driver on the same ckpt_dir resumes from disk."""
-        for a in self.shards + self.gates:
-            ray.kill(a)
+    def close(self, kill_detached: bool = False) -> None:
+        """Release the state actors.  Driver-owned actors are killed.
+        In namespace mode the detached named actors are ADVERTISED as
+        shared across cooperating drivers, so close() only drops the
+        handles by default — one driver's exit must not destroy the
+        live seen-set authority under the others (ADVICE r02); pass
+        kill_detached=True to tear them down deliberately."""
+        if self.actor_namespace is None or kill_detached:
+            for a in self.shards + self.gates:
+                ray.kill(a)
         self.shards = []
         self.gates = []
         self._io_pool.shutdown(wait=False)

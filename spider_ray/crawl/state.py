@@ -38,9 +38,20 @@ class CuckooShard:
 
     def __init__(self, shard_id: int, capacity: int, exact_mode: bool = True):
         self.shard_id = shard_id
+        self.capacity = capacity
         self.filter = CuckooFilter(capacity)
         self.exact: set[int] | None = set() if exact_mode else None
         self.pending: dict[int, tuple[int, int]] = {}  # h64 -> (seq, fp)
+        self.false_hits = 0
+
+    def reset(self) -> None:
+        """Back to the empty post-__init__ state.  A fresh crawl that
+        re-attaches to pre-existing DETACHED actors (namespace mode)
+        must not inherit a prior crawl's seen-set (ADVICE r02)."""
+        self.filter = CuckooFilter(self.capacity)
+        if self.exact is not None:
+            self.exact = set()
+        self.pending.clear()
         self.false_hits = 0
 
     def check_batch(self, h64s: np.ndarray, fps: np.ndarray) -> np.ndarray:
@@ -118,6 +129,40 @@ class DomainGate:
         # the distributed gate-push path, where counts arrive from
         # map_groups tasks that Ray may retry.
         self.staged: dict[int, dict[str, int]] = {}
+        # live-mode politeness: next allowed wall-clock fetch time per
+        # domain (reserve_fetch_slots); never consulted in corpus mode
+        # and never part of the correctness path (A.9: budgets are
+        # virtual-time, wall-clock pacing is an execution concern)
+        self.next_wallclock: dict[str, float] = {}
+
+    def reset(self) -> None:
+        """Back to the empty post-__init__ state (fresh crawl onto
+        re-attached detached actors — ADVICE r02)."""
+        self.fetched_total.clear()
+        self.rounds_seen = 0
+        self.staged.clear()
+        self.next_wallclock.clear()
+
+    def reserve_fetch_slots(
+        self, domains: list[str], counts: list[int], scale: float = 1.0
+    ) -> list[tuple[float, float]]:
+        """Live-mode politeness windows (T3 <- T2).  For each (domain,
+        n): returns (start_wallclock, spacing_s) where start is the
+        earliest time this caller may hit the domain and spacing is the
+        per-request gap; the domain's next window begins after all n
+        paced requests.  All reservations for a domain serialize
+        through this one actor, so concurrent fetcher actors can never
+        overlap a domain."""
+        import time as _time
+
+        now = _time.time()
+        out = []
+        for d, n in zip(domains, counts):
+            spacing = self.cfg.crawl_delay(d) * scale
+            start = max(now, self.next_wallclock.get(d, 0.0))
+            self.next_wallclock[d] = start + max(0, int(n)) * spacing
+            out.append((start, spacing))
+        return out
 
     def check_batch(self, hosts: list[str], path_queries: list[str]) -> np.ndarray:
         cfg = self.cfg

@@ -224,6 +224,45 @@ def test_detached_named_actors_reattach(ray_session, micro_fixture,
         pd.testing.assert_frame_equal(
             _collect(ckpt, sub, cols), _collect(base_ckpt, sub, cols)
         )
-    d2.close()  # kills the detached actors: the namespace is now empty
+    # default close() is detach-only in namespace mode (the actors are
+    # advertised as shared — ADVICE r02): the named actors stay alive
+    d2.close()
+    assert ray.get_actor("seen:0", namespace=ns)._actor_id == shard0_id
+    # explicit teardown removes them: the namespace is now empty
+    d3 = CrawlDriver(micro_fixture, ckpt, actor_namespace=ns)
+    d3.close(kill_detached=True)
     with pytest.raises(ValueError):
         ray.get_actor("seen:0", namespace=ns)
+
+
+def test_detached_actors_reset_on_fresh_crawl(ray_session, micro_fixture,
+                                              tmp_path_factory):
+    """A FRESH crawl (empty ckpt_dir) that re-attaches to detached
+    actors polluted by a prior crawl must reset them, not inherit their
+    seen-set/gate totals (ADVICE r02): the crawl into a wiped ckpt dir
+    must produce the same outputs as one with genuinely fresh actors."""
+    import ray
+
+    from spider_ray.crawl.driver import CrawlDriver
+
+    ns = f"t-reset-{os.getpid()}"
+    ckpt1 = str(tmp_path_factory.mktemp("ckpt_pollute"))
+    d1 = CrawlDriver(micro_fixture, ckpt1, actor_namespace=ns)
+    d1.run(max_rounds=2)  # leaves a populated seen-set in the namespace
+    stats_before = d1.seen_stats()
+    assert sum(s["items"] for s in stats_before) > 0
+    d1.close()  # detach-only: actors stay alive and polluted
+
+    ckpt2 = str(tmp_path_factory.mktemp("ckpt_fresh"))
+    d2 = CrawlDriver(micro_fixture, ckpt2, actor_namespace=ns)
+    d2.run(max_rounds=MAX_ROUNDS)
+    # a polluted seen-set would mark every URL already-seen and crawl
+    # nothing; with the reset, outputs match a from-scratch crawl
+    ckpt3 = str(tmp_path_factory.mktemp("ckpt_plain"))
+    d3 = CrawlDriver(micro_fixture, ckpt3)
+    d3.run(max_rounds=MAX_ROUNDS)
+    pd.testing.assert_frame_equal(
+        _collect(ckpt2, "order", ORDER_KEY), _collect(ckpt3, "order", ORDER_KEY)
+    )
+    d3.close()
+    d2.close(kill_detached=True)
