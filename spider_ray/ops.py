@@ -158,7 +158,14 @@ def partitioned_hash_join(
         "left": "left outer",
         "right": "right outer",
         "outer": "full outer",
+        "semi": "left semi",
+        "anti": "left anti",
     }[how]
+    # semi/anti keep only left columns; the right side contributes just
+    # its membership on the key, so ship nothing but the key column
+    if how in ("semi", "anti"):
+        all_cols = list(left_cols)
+        right_cols = [on]
 
     def pad(side_cols, tag):
         def f(t: pa.Table) -> pa.Table:
@@ -236,3 +243,52 @@ def top_k(ds, by: list[str], k: int, descending: bool = True):
 
     pruned = ds.map_batches(local, batch_format="pyarrow")
     return pruned.sort(by, descending=descending).limit(k)
+
+
+def grouped_top_k(
+    ds,
+    group_key: str,
+    order_by: list[str],
+    ascending: list[bool],
+    k: int,
+    n_parts: int | None = None,
+    rank_col: str = "rank",
+):
+    """Top-k rows per group (window ``row_number() <= k``), distributed.
+
+    Two stages, both parallel: (1) a per-batch combiner keeps at most k
+    rows per group per batch (the global per-group top-k is a subset of
+    the union of per-batch top-k's), so the shuffle moves at most
+    k x groups_in_batch rows; (2) groups are hash-partitioned on
+    ``group_key`` and each partition sorts locally and ranks.  The
+    ``order_by`` list MUST be a total order within a group (append a
+    unique id as tiebreak) or ranks are nondeterministic.
+    """
+    if n_parts is None:
+        n_parts = cluster_parts()
+    sort_cols = [group_key] + order_by
+    sort_asc = [True] + list(ascending)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+        return df.groupby(group_key, sort=False).head(k)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        key = t.column(group_key).to_numpy(zero_copy_only=False)
+        parts = (pd.util.hash_array(key) % n_parts).astype(np.int32)
+        return t.append_column("__part", pa.array(parts))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+        g[rank_col] = (g.groupby(group_key, sort=False).cumcount() + 1).astype(
+            "int64"
+        )
+        g = g[g[rank_col] <= k]
+        return g.drop(columns="__part")
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(rank_group, batch_format="pandas")
+    )

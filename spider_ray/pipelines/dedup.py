@@ -670,6 +670,85 @@ def embedding_near_dup_lsh(sf_dir: str, cosine_threshold: float = 0.8,
     )
 
 
+def ngram_jaccard_pairs(sf_dir: str, n: int = 5, thr_e6: int = 300_000):
+    """EXACT n-gram set-similarity join (D4 family, exact variant —
+    distinct from the MinHash estimate): char-``n``-gram shingle sets,
+    candidate pairs from an inverted shingle->docs index (ONE groupby
+    on the shingle), intersection sizes aggregated distributed, set
+    sizes attached via partitioned hash joins, Jaccard in e6 fixed
+    point (same IEEE op order as the DuckDB twin, so bit-exact).
+
+    Scale shape: the shuffle carries (shingle, doc_id) rows and then
+    (a_id, b_id) candidate rows — never documents.  Candidate volume is
+    O(sum_g df(g)^2); that is the exact-join price.  On web-scale
+    corpora with hot shingles use minhash_lsh_pairs (banded, capped) —
+    this op is the verify-grade exact join for bounded buckets."""
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        # per-doc DISTINCT shingles; the per-row set build is O(chars)
+        # and happens once per document (candidate generation, not the
+        # hot verify loop)
+        ids: list[int] = []
+        grams: list[str] = []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            gs = {txt[i : i + n] for i in range(len(txt) - n + 1)}
+            ids.extend([did] * len(gs))
+            grams.extend(gs)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "g": pa.array(grams, pa.string())}
+        )
+
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    _EMPTY_PAIRS = pa.table(
+        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+    )
+
+    def gram_pairs(g: pd.DataFrame) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        if len(ids) < 2:
+            return _EMPTY_PAIRS
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "a_id": pa.array(ids[a_idx], pa.int64()),
+                "b_id": pa.array(ids[b_idx], pa.int64()),
+            }
+        )
+
+    inter = ops.partial_sum_agg(
+        sh.groupby("g").map_groups(gram_pairs, batch_format="pandas"),
+        keys=["a_id", "b_id"], sums={}, counts="inter",
+    )
+
+    sizes = ops.partial_sum_agg(sh, keys=["doc_id"], sums={}, counts="n")
+    n_buckets = ops.cluster_parts()
+    sizes_a = sizes.map_batches(
+        lambda t: t.rename_columns(["a_id", "n_a"]), batch_format="pyarrow"
+    )
+    sizes_b = sizes.map_batches(
+        lambda t: t.rename_columns(["b_id", "n_b"]), batch_format="pyarrow"
+    )
+    joined = ops.partitioned_hash_join(
+        ops.partitioned_hash_join(inter, sizes_a, on="a_id", n_buckets=n_buckets),
+        sizes_b, on="b_id", n_buckets=n_buckets,
+    )
+
+    def jaccard(t: pa.Table) -> pa.Table:
+        it = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        # identical op order to the SQL twin: (1e6*inter)/(union) + .5
+        j_e6 = np.floor(1_000_000.0 * it / (na + nb - it) + 0.5).astype(np.int64)
+        out = t.append_column("jaccard_e6", pa.array(j_e6))
+        return out.filter(pa.array(j_e6 >= thr_e6))
+
+    return joined.map_batches(jaccard, batch_format="pyarrow")
+
+
 DEDUP_ORACLE_SQL = {
     "exact_dedup_documents": """
         SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
@@ -746,8 +825,34 @@ def _embedding_near_dup_lsh_gate(sf_dir: str):
         sf_dir, cosine_threshold=0.99, plant_copies=50
     )
 
+DEDUP_ORACLE_SQL["ngram_jaccard_pairs"] = """
+    WITH raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 3, 1)),
+                    i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+      FROM documents
+    ), sh AS (SELECT DISTINCT doc_id, g FROM raw),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    cand AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+             CAST(floor(1000000.0 * inter / (sa.n + sb.n - inter) + 0.5)
+                  AS BIGINT) AS jaccard_e6
+      FROM cand
+      JOIN sz sa ON cand.a_id = sa.doc_id
+      JOIN sz sb ON cand.b_id = sb.doc_id
+    )
+    SELECT a_id, b_id, inter, n_a, n_b, jaccard_e6
+    FROM j WHERE jaccard_e6 >= 300000
+"""
+
 DEDUP_QUERIES = {
     "exact_dedup_documents": exact_dedup_documents,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_dedup_documents": simhash_dedup_documents,
     "embedding_near_dup": embedding_near_dup,

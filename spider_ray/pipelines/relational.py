@@ -159,6 +159,23 @@ def nations_except_asia_region(sf_dir: str):
     return ops.broadcast_semi_anti(nation, asia_keys, on="n_regionkey", anti=True)
 
 
+def customers_without_events(sf_dir: str):
+    """Large-large ANTI join (J1b family, anti variant): customers with
+    no event activity.  Both sides hash-partition on the key in ONE
+    shuffle; each bucket runs Arrow's ``left anti`` join locally — the
+    right side ships only its key column (ops.partitioned_hash_join
+    how='anti')."""
+    cust = ops.read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    ev = ops.read_table(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+    return ops.partitioned_hash_join(
+        cust, ev, on="c_custkey", how="anti", n_buckets=ops.cluster_parts()
+    )
+
+
 # -- 2.8 JSON scalar function ------------------------------------------------
 
 def events_json_extract(sf_dir: str):
@@ -377,6 +394,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
     """,
+    "customers_without_events": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    """,
 }
 
 QUERIES = {
@@ -395,4 +417,5 @@ QUERIES = {
     "orders_by_month": orders_by_month,
     "events_tumbling_window": events_tumbling_window,
     "sample_orders_hash": sample_orders_hash,
+    "customers_without_events": customers_without_events,
 }

@@ -205,7 +205,146 @@ _LANG_CASE_SQL = """
     END
 """
 
+def stratified_sample_documents(sf_dir: str, k: int = 10):
+    """Stratified fixed-size sample: the k documents with the smallest
+    md5(doc_id) per language stratum.  Content-keyed (like
+    sample_orders_hash), so any partitioning/resume yields the same
+    sample; the per-stratum selection is ops.grouped_top_k (per-batch
+    combiner + one hash partition on the stratum key)."""
+    import hashlib
+
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(str(d).encode()).hexdigest()
+            for d in t.column("doc_id").to_pylist()
+        ]
+        return t.append_column("__h", pa.array(hs, pa.string()))
+
+    picked = ops.grouped_top_k(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        group_key="lang",
+        order_by=["__h", "doc_id"],
+        ascending=[True, True],
+        k=k,
+    )
+    return picked.map_batches(
+        lambda t: t.select(["lang", "doc_id", "n_chars", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Top-k terms per language by tf-idf (linear idf: tf * N / df —
+    exact in fixed point, no transcendental whose last-ulp could differ
+    between engines).  Fully distributed: per-batch (doc, term)
+    occurrence partials; tf via groupby(lang, term); df via
+    groupby(term) over per-doc distinct term rows; df attached by a
+    partitioned hash join on the term (the vocabulary can be large at
+    web scale — no broadcast); final per-lang ranking via
+    ops.grouped_top_k.  N comes from parquet footer metadata (no
+    scan)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    N = _pq.ParquetFile(_os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    term_re = re.compile(r"[a-z]+")
+
+    def doc_terms(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        langs: list[str] = []
+        terms: list[str] = []
+        occs: list[int] = []
+        for did, lang, txt in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            counts: dict[str, int] = {}
+            for w in term_re.findall(txt.lower()):
+                if len(w) >= 3:
+                    counts[w] = counts.get(w, 0) + 1
+            ids.extend([did] * len(counts))
+            langs.extend([lang] * len(counts))
+            terms.extend(counts)
+            occs.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "term": pa.array(terms, pa.string()),
+                "occ": pa.array(occs, pa.int64()),
+            }
+        )
+
+    dt = ds.map_batches(doc_terms, batch_format="pyarrow")
+    tf = ops.partial_sum_agg(dt, keys=["lang", "term"], sums={"occ": "tf"},
+                             counts=None)
+    df = ops.partial_sum_agg(dt, keys=["term"], sums={}, counts="df")
+    joined = ops.partitioned_hash_join(
+        tf, df, on="term", n_buckets=ops.cluster_parts()
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_np = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df_np = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        # identical IEEE op order to the SQL twin:
+        # ((1000000.0*tf)*N)/df, then floor
+        s = np.floor(1_000_000.0 * tf_np * float(N) / df_np).astype(np.int64)
+        return t.append_column("score_e6", pa.array(s))
+
+    ranked = ops.grouped_top_k(
+        joined.map_batches(score, batch_format="pyarrow"),
+        group_key="lang",
+        order_by=["score_e6", "term"],
+        ascending=[False, True],
+        k=k,
+    )
+    return ranked.map_batches(
+        lambda t: t.select(["lang", "term", "tf", "df", "score_e6", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
 TEXT_ORACLE_SQL = {
+    "stratified_sample_documents": """
+        SELECT lang, doc_id, n_chars, rank FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+          FROM documents
+        ) WHERE rank <= 10
+    """,
+    "tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents
+        ), f AS (
+          SELECT doc_id, lang, term, COUNT(*) AS occ
+          FROM toks WHERE length(term) >= 3 GROUP BY 1, 2, 3
+        ), tf AS (
+          SELECT lang, term, CAST(SUM(occ) AS BIGINT) AS tf
+          FROM f GROUP BY 1, 2
+        ), df AS (
+          SELECT term, COUNT(*) AS df FROM f GROUP BY 1
+        ), scored AS (
+          SELECT lang, tf.term AS term, tf, CAST(df AS BIGINT) AS df,
+                 CAST(floor(1000000.0 * tf * (SELECT COUNT(*) FROM documents)
+                            / df) AS BIGINT) AS score_e6
+          FROM tf JOIN df ON tf.term = df.term
+        )
+        SELECT lang, term, tf, df, score_e6, rank FROM (
+          SELECT lang, term, tf, df, score_e6,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY score_e6 DESC, term) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """,
     "token_count_documents": r"""
         SELECT doc_id,
                CAST(len(list_filter(string_split_regex(text, '\s+'),
@@ -277,6 +416,8 @@ TEXT_ORACLE_SQL = {
 }
 
 TEXT_QUERIES = {
+    "stratified_sample_documents": stratified_sample_documents,
+    "tfidf_top_terms": tfidf_top_terms,
     "quality_score_documents": quality_score_documents,
     "token_count_documents": token_count_documents,
     "fingerprint_documents": fingerprint_documents,

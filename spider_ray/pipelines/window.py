@@ -1,0 +1,283 @@
+"""Windowed / ordered analytics — SURVEY.md §2.9 family, round 3.
+
+Ordered-window operators a training-data pipeline needs beyond the
+tumbling window already in relational.py: gap-based sessionization,
+per-group top-k (window row_number), cumulative running totals, pivot
+(conditional aggregation), and exact distributed quantiles via a
+fixed-point value histogram.
+
+Every operator follows the same scale shape: a vectorized per-batch
+combiner first (so the shuffle moves partials, not rows), then ONE
+hash-partition on the window's partition key, then a vectorized
+per-partition pandas/Arrow kernel.  Nothing materializes on the
+driver; fixed-point integer units keep the DuckDB twins bit-exact
+(same rationale as relational.agg_by_returnflag).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from spider_ray import ops
+
+SESSION_GAP_S = 86_400  # 1 day: splits the 30-day event fixture ~8 ways/user
+
+
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization: a new session starts when the gap to
+    the user's previous event exceeds SESSION_GAP_S.  Classic stateful
+    window op; here the state never crosses a partition because each
+    user's whole history lands in one hash partition (the partition key
+    IS the window key), so a sorted vectorized diff+cumsum per
+    partition reproduces the sequential semantics exactly."""
+    ds = ops.read_table(sf_dir, "events", columns=["user_id", "ts"])
+    n_parts = ops.cluster_parts()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        parts = (pd.util.hash_array(uid) % n_parts).astype(np.int32)
+        return t.append_column("__part", pa.array(parts))
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        gap = g.groupby("user_id", sort=False)["ts"].diff()
+        is_new = (gap.isna() | (gap > pd.Timedelta(seconds=SESSION_GAP_S)))
+        sid = is_new.astype("int64").groupby(g["user_id"], sort=False).cumsum()
+        g = g.assign(session_id=sid.astype("int64"))
+        out = (
+            g.groupby(["user_id", "session_id"], sort=True)
+            .agg(
+                n_events=("ts", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[
+            ["user_id", "session_id", "n_events", "session_start", "session_end"]
+        ]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+def grouped_topk_orders(sf_dir: str):
+    """Top-3 orders per customer by (o_totalprice DESC, o_orderkey ASC)
+    — the window ``row_number() OVER (PARTITION BY ... ORDER BY ...)``
+    pattern, via the generic ops.grouped_top_k (per-batch combiner +
+    one hash partition)."""
+    ds = ops.read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    return ops.grouped_top_k(
+        ds,
+        group_key="o_custkey",
+        order_by=["o_totalprice", "o_orderkey"],
+        ascending=[False, True],
+        k=3,
+    )
+
+
+def cumulative_revenue_by_priority(sf_dir: str):
+    """Running cumulative revenue per order priority over months —
+    window ``SUM() OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``.  The cumulative runs over the ALREADY-AGGREGATED
+    (priority, month) partials (one row per month), so the ordered scan
+    per priority touches ~tens of rows no matter the input size."""
+    ds = ops.read_table(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        m = pc.strftime(t.column("o_orderdate"), format="%Y-%m")
+        cents = pc.floor(
+            pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "month": m,
+                "price_c": cents,
+            }
+        )
+
+    agg = ops.partial_sum_agg(
+        ds, pre=pre, keys=["o_orderpriority", "month"],
+        sums={"price_c": "month_price_cents"}, counts=None,
+    )
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("month", kind="mergesort")
+        g = g.assign(
+            cum_price_cents=g["month_price_cents"].cumsum().astype("int64")
+        )
+        return g[
+            ["o_orderpriority", "month", "month_price_cents", "cum_price_cents"]
+        ]
+
+    return agg.groupby("o_orderpriority").map_groups(
+        cum, batch_format="pandas"
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_events_by_type(sf_dir: str):
+    """Pivot: one row per user with per-event-type counts as columns
+    (conditional aggregation).  The indicator columns are built
+    vectorized in Arrow and pre-summed per batch, so the shuffle sees
+    one partial row per user per batch."""
+    ds = ops.read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        cols = {"user_id": t.column("user_id")}
+        for ty in EVENT_TYPES:
+            ind = pc.fill_null(pc.equal(et, ty), False).cast(pa.int64())
+            cols[f"n_{ty}"] = ind
+        return pa.table(cols)
+
+    return ops.partial_sum_agg(
+        ds, pre=pre, keys=["user_id"],
+        sums={f"n_{ty}": f"n_{ty}" for ty in EVENT_TYPES},
+        counts="n_total",
+    )
+
+
+def quantiles_lineitem(sf_dir: str):
+    """Exact distributed quantiles (p50/p90/p99 of l_extendedprice per
+    return flag) via a fixed-point value histogram: per-batch
+    (flag, cents)->count partials, a small groupby over distinct cents
+    values, then a per-flag sorted cumulative scan.  The selection rule
+    is the type-1 quantile — smallest value whose cumulative count
+    fraction reaches p — evaluated in exact integer cross-multiplied
+    arithmetic (cum*den >= num*n), identical in the SQL twin, so no
+    float quantile-position rounding can diverge.  Scale note: the
+    shuffle moves one row per DISTINCT cents value per flag, not per
+    input row; the final scan is per-flag over the distinct-value
+    histogram."""
+    ds = ops.read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        cents = pc.floor(
+            pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)
+        ).cast(pa.int64())
+        return pa.table(
+            {"l_returnflag": t.column("l_returnflag"), "price_c": cents}
+        )
+
+    hist = ops.partial_sum_agg(
+        ds, pre=pre, keys=["l_returnflag", "price_c"], sums={}, counts="cnt"
+    )
+
+    QUANTS = [(1, 2, "p50_cents"), (9, 10, "p90_cents"), (99, 100, "p99_cents")]
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("price_c", kind="mergesort")
+        cnt = g["cnt"].to_numpy(np.int64)
+        vals = g["price_c"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        row = {"l_returnflag": [g["l_returnflag"].iloc[0]]}
+        for num, den, name in QUANTS:
+            idx = int(np.argmax(cum * den >= num * n))
+            row[name] = np.array([vals[idx]], dtype=np.int64)
+        return pd.DataFrame(row)
+
+    return hist.groupby("l_returnflag").map_groups(pick, batch_format="pandas")
+
+
+WINDOW_QUERIES = {
+    "sessionize_events": sessionize_events,
+    "grouped_topk_orders": grouped_topk_orders,
+    "cumulative_revenue_by_priority": cumulative_revenue_by_priority,
+    "pivot_events_by_type": pivot_events_by_type,
+    "quantiles_lineitem": quantiles_lineitem,
+}
+
+WINDOW_ORACLE_SQL = {
+    "sessionize_events": f"""
+        WITH d AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM d
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+    """,
+    "grouped_topk_orders": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rank
+          FROM orders
+        ) WHERE rank <= 3
+    """,
+    "cumulative_revenue_by_priority": """
+        WITH m AS (
+          SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+                 SUM(CAST(floor(o_totalprice*100.0+0.5) AS BIGINT))
+                   AS month_price_cents
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, month,
+               CAST(month_price_cents AS BIGINT) AS month_price_cents,
+               CAST(SUM(month_price_cents) OVER (
+                      PARTITION BY o_orderpriority ORDER BY month
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_price_cents
+        FROM m
+    """,
+    "pivot_events_by_type": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+               COUNT(*) AS n_total
+        FROM events GROUP BY user_id
+    """,
+    "quantiles_lineitem": """
+        WITH h AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT) AS price_c,
+                 COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2
+        ), c AS (
+          SELECT l_returnflag, price_c,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag
+                                ORDER BY price_c) AS cum,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+          FROM h
+        )
+        SELECT l_returnflag,
+               CAST(MIN(CASE WHEN cum*2 >= n THEN price_c END) AS BIGINT)
+                 AS p50_cents,
+               CAST(MIN(CASE WHEN cum*10 >= n*9 THEN price_c END) AS BIGINT)
+                 AS p90_cents,
+               CAST(MIN(CASE WHEN cum*100 >= n*99 THEN price_c END) AS BIGINT)
+                 AS p99_cents
+        FROM c GROUP BY l_returnflag
+    """,
+}
