@@ -65,6 +65,11 @@ QUERY_NAMES = [
     "token_count_documents",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "sessionize_events",
+    "grouped_topk_orders",
+    "quantiles_lineitem",
+    "ngram_jaccard_pairs",
+    "tfidf_top_terms",
 ]
 
 
