@@ -229,6 +229,85 @@ def exact_dedup(ds, keys: list[str], order_by: list[str], n_parts: int = 32):
 
 
 # ---------------------------------------------------------------------------
+# connected components (min-label propagation) — dedup-cluster backbone
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges,
+    nodes,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_iters: int = 64,
+):
+    """Distributed connected components by min-label propagation.
+
+    ``edges``: Dataset with int64 columns (src, dst) — undirected, any
+    orientation, duplicate edges fine.  ``nodes``: Dataset whose
+    ``node_col`` names every node (isolated nodes allowed).  Returns a
+    Dataset ``(node, label)`` with ``label`` = the minimum node id
+    reachable from ``node`` — the canonical cluster representative.
+
+    Ray Data is acyclic, so the fixpoint loop lives in the driver (like
+    the crawl rounds, SURVEY §4.2 'Iteration').  Each sweep: one
+    partitioned hash join attaches current labels to the symmetric edge
+    list, each edge emits a (neighbor, label) message, and a partial-min
+    combine + groupby folds messages into labels.  Shuffles move one row
+    per edge + one per node — never payloads.  Labels only decrease, so
+    ``sum(label)`` is a monotone convergence witness: an unchanged sweep
+    is the fixpoint.  Sweep count = cluster diameter (near-dup clusters
+    are shallow stars in practice); each sweep materializes its label
+    table so lineage doesn't re-execute prior sweeps.
+    """
+    from ray.data.aggregate import Min
+
+    def canon_edges(t: pa.Table) -> pa.Table:
+        a = t.column(src).cast(pa.int64())
+        b = t.column(dst).cast(pa.int64())
+        fwd = pa.table({"node": a, "nbr": b})
+        rev = pa.table({"node": b, "nbr": a})
+        return pa.concat_tables([fwd, rev])
+
+    sym = edges.map_batches(canon_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = t.column(node_col).cast(pa.int64())
+        return pa.table({"node": n, "label": n})
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    def combine_min(t: pa.Table) -> pa.Table:
+        out = t.select(["node", "label"]).group_by(["node"]).aggregate(
+            [("label", "min")]
+        )
+        return out.rename_columns(["node", "label"])
+
+    prev = labels.sum("label")
+    for _ in range(max_iters):
+        # label of each edge's 'node' endpoint, sent to its neighbor
+        j = partitioned_hash_join(sym, labels, on="node")
+
+        def msgs(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": t.column("nbr"), "label": t.column("label")}
+            )
+
+        new = (
+            labels.union(j.map_batches(msgs, batch_format="pyarrow"))
+            .map_batches(combine_min, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = new.sum("label")
+        labels = new
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # top-k (per-batch prune -> tiny global sort)
 # ---------------------------------------------------------------------------
 

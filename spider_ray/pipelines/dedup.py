@@ -24,6 +24,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -749,6 +750,52 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 5, thr_e6: int = 300_000):
     return joined.map_batches(jaccard, batch_format="pyarrow")
 
 
+def dedup_clusters_minhash(sf_dir: str, jaccard_threshold: float = 0.8):
+    """Near-dup cluster assignment + canonical-doc selection — the step
+    a training-data dedup pass runs AFTER pair finding: connected
+    components over the verified MinHash pair graph, one canonical
+    (min-id) document kept per component.
+
+    Engine shape: ops.connected_components (driver-loop min-label
+    propagation; per sweep ONE partitioned hash join + a partial-min
+    groupby — rows moved are one per edge + one per node), then a
+    cluster-size count and a partitioned join to attach it (cluster
+    count scales with the corpus, so no broadcast).  Output for EVERY
+    document: (doc_id, cluster_id, cluster_size, is_canonical) —
+    singleton docs are their own cluster.  Oracle: DuckDB recursive-CTE
+    transitive closure over the same true-Jaccard pair set."""
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold)
+    docs = ops.read_table(sf_dir, "documents", columns=["doc_id"])
+    labels = ops.connected_components(
+        pairs, docs, src="doc_a", dst="doc_b", node_col="doc_id"
+    )
+
+    lab = labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+    sizes = lab.groupby("cluster_id").count().map_batches(
+        lambda t: t.rename_columns(["cluster_id", "cluster_size"]),
+        batch_format="pyarrow",
+    )
+    joined = ops.partitioned_hash_join(lab, sizes, on="cluster_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        canon = pc.cast(
+            pc.equal(t.column("doc_id"), t.column("cluster_id")), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": t.column("cluster_id"),
+                "cluster_size": t.column("cluster_size").cast(pa.int64()),
+                "is_canonical": canon,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 DEDUP_ORACLE_SQL = {
     "exact_dedup_documents": """
         SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
@@ -850,8 +897,56 @@ DEDUP_ORACLE_SQL["ngram_jaccard_pairs"] = """
     FROM j WHERE jaccard_e6 >= 300000
 """
 
+# connected components over the SAME true-Jaccard pair set the
+# minhash_lsh_pairs oracle defines, as a recursive-CTE transitive
+# closure; min reachable id per node = cluster id
+DEDUP_ORACLE_SQL["dedup_clusters_minhash"] = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '\w+'),
+                            w -> lower(w)) AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             END AS grams
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+            / greatest(1, len(list_distinct(
+                  list_concat(a.grams, b.grams)))) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    lab AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    sz AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+    )
+    SELECT l.doc_id, l.cluster_id,
+           CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+           CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_canonical
+    FROM lab l JOIN sz USING (cluster_id)
+"""
+
 DEDUP_QUERIES = {
     "exact_dedup_documents": exact_dedup_documents,
+    "dedup_clusters_minhash": dedup_clusters_minhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_dedup_documents": simhash_dedup_documents,

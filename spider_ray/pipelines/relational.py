@@ -314,6 +314,83 @@ def sample_orders_hash(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def revenue_rollup_flag_status(sf_dir: str):
+    """GROUP BY ROLLUP (grouping-sets aggregate): revenue + row count at
+    three levels — (returnflag, linestatus), (returnflag), grand total.
+
+    Scale shape: ONE distributed partial+final aggregate at the finest
+    level (the only pass over the data); the coarser levels re-aggregate
+    the finest RESULT, whose row count is bounded by the key-domain
+    product (|returnflag| x |linestatus| <= 9 here, never data-sized),
+    so the local rollup is free and shuffle-count stays 1 regardless of
+    how many rollup levels are asked for."""
+    ds = ops.read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))
+        )
+        rev = pc.floor(pc.add(pc.multiply(disc_price, 100.0), 0.5)).cast(
+            pa.int64()
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "rev_c": rev,
+            }
+        )
+
+    finest = ops.partial_sum_agg(
+        ds, pre=add_cents, keys=["l_returnflag", "l_linestatus"],
+        sums={"rev_c": "revenue_cents"}, counts="n",
+    )
+    # key-domain-bounded result: the rollup levels are a driver-side
+    # re-aggregate of <= 9 rows, not of the data
+    base = finest.to_pandas()
+    lvl1 = (
+        base.groupby("l_returnflag", as_index=False)[["revenue_cents", "n"]]
+        .sum()
+    )
+    lvl1["l_linestatus"] = None
+    lvl2 = base[["revenue_cents", "n"]].sum().to_frame().T
+    lvl2["l_returnflag"] = None
+    lvl2["l_linestatus"] = None
+    out = pd.concat([base, lvl1, lvl2], ignore_index=True)
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "revenue_cents": pa.array(out["revenue_cents"], pa.int64()),
+            "n": pa.array(out["n"], pa.int64()),
+        }
+    )
+
+
+def histogram_extendedprice(sf_dir: str):
+    """Fixed-width histogram over l_extendedprice ($500 bins) — the
+    partial-count combiner means the shuffle carries one row per
+    (bin, batch), never the data."""
+    ds = ops.read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        cents = pc.floor(
+            pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)
+        ).cast(pa.int64())
+        bin_id = pc.divide(cents, 50_000)  # integer floor-div on int64
+        return pa.table({"bin": bin_id})
+
+    return ops.partial_sum_agg(
+        ds, pre=add_bin, keys=["bin"], sums={}, counts="n"
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "filter_lineitem": """
         SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate
@@ -399,6 +476,20 @@ ORACLE_SQL: dict[str, str] = {
         WHERE NOT EXISTS (
           SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
     """,
+    "revenue_rollup_flag_status": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "histogram_extendedprice": """
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 50000
+                   AS bin,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    """,
 }
 
 QUERIES = {
@@ -418,4 +509,6 @@ QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "sample_orders_hash": sample_orders_hash,
     "customers_without_events": customers_without_events,
+    "revenue_rollup_flag_status": revenue_rollup_flag_status,
+    "histogram_extendedprice": histogram_extendedprice,
 }
