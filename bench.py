@@ -68,9 +68,16 @@ QUERY_NAMES = [
     "sessionize_events",
     "grouped_topk_orders",
     "quantiles_lineitem",
-    "ngram_jaccard_pairs",
     "tfidf_top_terms",
 ]
+# ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
+# EXACT set-similarity join (verify-grade, for bounded buckets — see its
+# docstring), and this synthetic corpus has a ~4k-shingle vocabulary
+# over 5k docs, so every doc pair shares shingles and the exact
+# candidate set is ~all-pairs (~750M rows) BY DEFINITION of the op —
+# no engine shape changes that.  The scalable estimate for unbounded
+# corpora is minhash_lsh_pairs (benched above); ngram_jaccard stays
+# correctness-gated at sf0.01 in the driver harness.
 
 
 def ensure_fixture() -> None:

