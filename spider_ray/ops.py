@@ -52,7 +52,8 @@ def cluster_parts(mult: int = 2, floor: int = 16, cap: int = 4096) -> int:
 # ---------------------------------------------------------------------------
 
 def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | None,
-                    pre=None, final_parts: int | None = None):
+                    pre=None, final_parts: int | None = None,
+                    bounded: bool = True):
     """SUM/COUNT groupby with per-batch pre-aggregation.
 
     ``sums`` maps source column -> output name; ``counts`` names an
@@ -66,16 +67,23 @@ def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | Non
     3.5x on agg_by_returnflag for a separate pandas combine pass;
     VERDICT r02 'What's wrong' #1).
 
-    ``final_parts``: pass ~the key-domain size when it is far below the
-    cluster's block count.  The partials are already tiny (rows = keys x
-    blocks), so packing them into that many blocks is free, and it stops
-    ray 2.49.2's sort-aggregate from fanning out into mostly-empty range
-    partitions whose reduce tasks emit schema-LESS empty blocks — the
-    RefBundle-warning condition (VERDICT r02 'What's wrong' #4/#6).
-    Leave None for data-sized key domains (no empty partitions there).
-    """
-    from ray.data.aggregate import Sum
+    Final merge — two Arrow-native shapes, NEITHER ray's
+    groupby().aggregate() (its reduce is a Python row loop: ~100 s of
+    CPU folding 345k partial rows, measured on the quantile histogram):
 
+    * ``bounded=True`` (default): the RESULT is key-domain-bounded
+      (flags, months, windows, price bins — not data-sized), so tree
+      combine: coalesce partials -> per-block Arrow re-combine ->
+      one block.  No sort, no sampling, no all-to-all; the result
+      lands in a single block sized by the key domain.
+    * ``bounded=False``: data-sized key domains (per-user, per-pair,
+      per-term at web scale).  Range-partition on the keys (equal keys
+      never split) + per-block Arrow combine — one sort shuffle,
+      vectorized everywhere, result stays distributed.
+
+    ``final_parts`` overrides the intermediate fan-in of the tree
+    combine (rarely needed).
+    """
     src_cols = list(sums)
 
     def combine(t: pa.Table) -> pa.Table:
@@ -93,12 +101,30 @@ def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | Non
         return out.select(order)
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
-    if final_parts is not None:
-        partials = partials.repartition(final_parts)
-    aggs = [Sum(v, alias_name=v) for v in sums.values()]
-    if counts:
-        aggs.append(Sum(counts, alias_name=counts))
-    return partials.groupby(keys).aggregate(*aggs)
+
+    val_cols = list(sums.values()) + ([counts] if counts else [])
+
+    def combine_final(t: pa.Table) -> pa.Table:
+        out = t.group_by(keys).aggregate([(c, "sum") for c in val_cols])
+        rename = {f"{c}_sum": c for c in val_cols}
+        out = out.rename_columns([rename.get(c, c) for c in out.column_names])
+        return out.select(keys + val_cols)
+
+    if bounded:
+        out = partials
+        if final_parts is not None:
+            # opt-in mid tier for extreme partial volumes (block-count x
+            # key-domain approaching a single block's capacity): combine
+            # in final_parts blocks first, then once more in one
+            out = out.repartition(final_parts).map_batches(
+                combine_final, batch_size=None, batch_format="pyarrow"
+            )
+        return out.repartition(1).map_batches(
+            combine_final, batch_size=None, batch_format="pyarrow"
+        )
+    return partials.sort(keys).map_batches(
+        combine_final, batch_size=None, batch_format="pyarrow"
+    )
 
 
 def grouped_final(ds, keys, fn, n_groups: int = 1,
@@ -247,17 +273,26 @@ def exact_dedup(ds, keys: list[str], order_by: list[str], n_parts: int = 32):
     block dedupes locally.  Partitioning on the data-sized key itself
     instead of a dense synthetic ``__part`` id keeps range partitions
     nonempty — empty partitions emit schema-less blocks (the
-    RefBundle-warning condition).  No up-repartition: splitting a
-    small input into more blocks than rows mints empty blocks too;
-    the sort's fan-out already follows the input block count, which
-    tracks data volume."""
-    del n_parts  # parallelism follows the input block count
+    RefBundle-warning condition).
+
+    Pre-sort the input is COALESCED by an identity map with a large
+    batch_size: ray bundles many small upstream blocks into each task
+    without an all-to-all, so the sort's partition count tracks data
+    volume (64k-row blocks) instead of upstream task count — dedup
+    inputs are often thousands of near-empty blocks (e.g. candidate
+    pairs out of a banded groupby), where block-count partitions put
+    fewer rows in a partition than one key's duplicate run and a
+    sampled boundary inside that run mints an empty partition."""
+    del n_parts  # parallelism follows coalesced data volume
 
     def dedupe(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(keys + order_by, kind="mergesort")
         return df.drop_duplicates(keys, keep="first")
 
-    return ds.sort(keys).map_batches(
+    coalesced = ds.map_batches(
+        lambda t: t, batch_size=65536, batch_format="pyarrow"
+    )
+    return coalesced.sort(keys).map_batches(
         dedupe, batch_size=None, batch_format="pandas"
     )
 
@@ -293,8 +328,6 @@ def connected_components(
     are shallow stars in practice); each sweep materializes its label
     table so lineage doesn't re-execute prior sweeps.
     """
-    from ray.data.aggregate import Min
-
     def canon_edges(t: pa.Table) -> pa.Table:
         a = t.column(src).cast(pa.int64())
         b = t.column(dst).cast(pa.int64())
@@ -334,14 +367,19 @@ def connected_components(
                 {"node": t.column("nbr"), "label": t.column("label")}
             )
 
+        # per-batch partial min, then range-partition + per-block Arrow
+        # min — same Arrow-native final as partial_sum_agg (ray's
+        # Aggregate reduce is a Python row loop)
         new = (
             labels.union(
                 j.map_batches(msgs, batch_format="pyarrow")
                 .repartition(msg_parts)
             )
             .map_batches(combine_min, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .sort("node")
+            .map_batches(
+                combine_min, batch_size=None, batch_format="pyarrow"
+            )
             .materialize()
         )
         cur = new.sum("label")
@@ -415,7 +453,10 @@ def grouped_top_k(
 
     return (
         ds.map_batches(prune, batch_format="pandas")
-        .repartition(n_parts)
+        # /4: keep each range partition's row count well above any one
+        # group's multiplicity (<= k per source block), else a sampled
+        # boundary inside one group's run mints an empty partition
+        .repartition(max(1, n_parts // 4))
         .sort(group_key)
         .map_batches(rank_block, batch_size=None, batch_format="pandas")
     )

@@ -723,9 +723,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 5, thr_e6: int = 300_000):
     inter = ops.partial_sum_agg(
         sh.groupby("g").map_groups(gram_pairs, batch_format="pandas"),
         keys=["a_id", "b_id"], sums={}, counts="inter",
+        bounded=False,  # pair-count-sized key domain
     )
 
-    sizes = ops.partial_sum_agg(sh, keys=["doc_id"], sums={}, counts="n")
+    sizes = ops.partial_sum_agg(sh, keys=["doc_id"], sums={}, counts="n",
+                                bounded=False)  # doc-count-sized
     n_buckets = ops.cluster_parts()
     sizes_a = sizes.map_batches(
         lambda t: t.rename_columns(["a_id", "n_a"]), batch_format="pyarrow"

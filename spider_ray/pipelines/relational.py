@@ -77,7 +77,6 @@ def agg_by_returnflag(sf_dir: str):
             "disc_c": "sum_disc_price_cents",
         },
         counts="count_order",
-        final_parts=2,  # ~6-key domain: partitions < keys => no empty partition
     )
     return out
 
@@ -345,7 +344,7 @@ def revenue_rollup_flag_status(sf_dir: str):
 
     finest = ops.partial_sum_agg(
         ds, pre=add_cents, keys=["l_returnflag", "l_linestatus"],
-        sums={"rev_c": "revenue_cents"}, counts="n", final_parts=2,
+        sums={"rev_c": "revenue_cents"}, counts="n",
     )
     # key-domain-bounded result: the rollup levels are a driver-side
     # re-aggregate of <= 9 rows, not of the data
