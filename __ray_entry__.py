@@ -153,12 +153,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.pipelines.dedup import DEDUP_QUERIES
     from spider_ray.pipelines.multimodal import MULTIMODAL_QUERIES
     from spider_ray.pipelines.relational import QUERIES
+    from spider_ray.pipelines.sketch import SKETCH_QUERIES
     from spider_ray.pipelines.textstats import TEXT_QUERIES
     from spider_ray.pipelines.window import WINDOW_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(QUERIES)
     out.update(WINDOW_QUERIES)
+    out.update(SKETCH_QUERIES)
     out.update(TEXT_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(ANN_QUERIES)
@@ -178,12 +180,14 @@ def oracle_sql() -> dict[str, str]:
     from spider_ray.pipelines.dedup import DEDUP_ORACLE_SQL
     from spider_ray.pipelines.multimodal import MULTIMODAL_ORACLE_SQL
     from spider_ray.pipelines.relational import ORACLE_SQL
+    from spider_ray.pipelines.sketch import SKETCH_ORACLE_SQL
     from spider_ray.pipelines.textstats import TEXT_ORACLE_SQL
     from spider_ray.pipelines.window import WINDOW_ORACLE_SQL
 
     out: dict[str, str] = {}
     out.update(ORACLE_SQL)
     out.update(WINDOW_ORACLE_SQL)
+    out.update(SKETCH_ORACLE_SQL)
     out.update(TEXT_ORACLE_SQL)
     out.update(DEDUP_ORACLE_SQL)
     out.update(ANN_ORACLE_SQL)

@@ -233,8 +233,43 @@ def crawl_revisit_golden() -> pa.Table:
     })
 
 
+def hll_golden() -> pa.Table:
+    """Sequential HyperLogLog over lineitem.l_orderkey — same pinned
+    spec as pipelines/sketch.py (b=10, sha1 top-bits register, rho of
+    the 54-bit suffix, ascending-register summation, linear-counting
+    small-range correction), written as a plain row loop."""
+    import math
+
+    t = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                      columns=["l_orderkey"])
+    m = 1024
+    regs = [0] * m
+    for k in t.column("l_orderkey").to_pylist():
+        h = int.from_bytes(hashlib.sha1(str(k).encode()).digest()[:8], "big")
+        reg = h >> 54
+        w = h & ((1 << 54) - 1)
+        rho = 55 if w == 0 else 54 - w.bit_length() + 1
+        if rho > regs[reg]:
+            regs[reg] = rho
+    s = 0.0
+    for j in range(m):
+        s += 2.0 ** (-float(regs[j]))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / s
+    v = sum(1 for j in range(m) if regs[j] == 0)
+    if e <= 2.5 * m and v > 0:
+        e = m * math.log(m / v)
+    return pa.table(
+        {
+            "m": pa.array([m], pa.int64()),
+            "n_distinct_est": pa.array([int(math.floor(e + 0.5))], pa.int64()),
+        }
+    )
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
+    "approx_distinct_orders_hll": hll_golden,
     "simhash_dedup_documents": simhash_pairs_golden,
     "decode_media_fake": decode_media_golden,
     "decode_media_features": decode_media_features_golden,

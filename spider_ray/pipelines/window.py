@@ -149,6 +149,45 @@ def pivot_events_by_type(sf_dir: str):
     )
 
 
+def events_sliding_window(sf_dir: str):
+    """10-minute windows sliding every 5 minutes (overlap factor
+    W/S = 2): count + sum(value) per (event_type, window).  Each event
+    belongs to exactly 2 windows; the duplication happens INSIDE the
+    combine map's projection, so the shuffle still moves one partial
+    row per (window, type) per batch — never the 2x event rows."""
+    W, S = 600_000_000, 300_000_000
+    ds = ops.read_table(sf_dir, "events", columns=["ts", "event_type",
+                                                   "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        s1 = pc.multiply(pc.divide(us, S), S).cast(pa.int64())
+        cents = pc.floor(
+            pc.add(pc.multiply(t.column("value"), 100.0), 0.5)
+        ).cast(pa.int64())
+        base = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": s1,
+                "value_c": cents,
+            }
+        )
+        prev = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": pc.subtract(s1, pa.scalar(S, pa.int64())),
+                "value_c": cents,
+            }
+        )
+        # start <= t < start + W holds for both: t - s1 in [0, S) and W = 2S
+        return pa.concat_tables([base, prev])
+
+    return ops.partial_sum_agg(
+        ds, pre=pre, keys=["event_type", "window_start"],
+        sums={"value_c": "sum_value_cents"}, counts="n",
+    )
+
+
 QUANTS = [(1, 2, "p50_cents"), (9, 10, "p90_cents"), (99, 100, "p99_cents")]
 _QBIN = 4096  # coarse-bin width in cents for quantile pass 1
 
@@ -277,9 +316,26 @@ WINDOW_QUERIES = {
     "cumulative_revenue_by_priority": cumulative_revenue_by_priority,
     "pivot_events_by_type": pivot_events_by_type,
     "quantiles_lineitem": quantiles_lineitem,
+    "events_sliding_window": events_sliding_window,
 }
 
 WINDOW_ORACLE_SQL = {
+    "events_sliding_window": """
+        WITH e AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 300000000) * 300000000 AS s1,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+          FROM events
+        ), x AS (
+          SELECT event_type,
+                 unnest([s1, s1 - 300000000]) AS window_start, vc
+          FROM e
+        )
+        SELECT event_type, window_start,
+               CAST(sum(vc) AS BIGINT) AS sum_value_cents,
+               count(*) AS n
+        FROM x GROUP BY 1, 2
+    """,
     "sessionize_events": f"""
         WITH d AS (
           SELECT user_id, ts,
