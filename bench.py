@@ -73,6 +73,7 @@ QUERY_NAMES = [
     "approx_distinct_orders_hll",
     "redact_pii_documents",
     "decontaminate_documents",
+    "orders_from_active_users_bloom",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

@@ -176,6 +176,82 @@ def broadcast_semi_anti(big, keys: set, on: str, anti: bool = False):
     return big.map_batches(f, batch_format="pyarrow")
 
 
+def bloom_semi_join(left, right, on: str, m_bits: int = 1 << 20,
+                    k_hashes: int = 4, anti: bool = False):
+    """Bloom-prefiltered EXACT semi/anti join — the scale pattern for a
+    right side too large to broadcast exactly while the left side is
+    larger still (e.g. "orders of users seen in the event log" at
+    10^9 users x 10^11 orders).
+
+    Shape: each right-side batch folds its keys into an m-bit bitmap
+    partial; a single-block OR-reduce yields one bounded bitmap
+    (m_bits/8 bytes regardless of key count) broadcast via ``ray.put``;
+    the left side prefilters vectorized against it; ONLY the surviving
+    candidates enter the exact partitioned join.  The Bloom filter
+    never produces false negatives, so for the semi join every true
+    match survives the prefilter and the exact join removes the false
+    positives — the result is EXACT for any (m_bits, k_hashes).  For
+    the anti join, definite non-members (bloom-negative) are kept
+    immediately with NO join at all; only possible-members go through
+    the exact anti join.  The shuffle therefore moves candidate rows,
+    not the left table.
+    """
+    m = int(m_bits)
+    nbytes = (m + 7) // 8
+
+    def _positions(key_col) -> np.ndarray:
+        h = pd.util.hash_array(
+            key_col.to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        h1 = h % np.uint64(m)
+        h2 = ((h >> np.uint64(32)) | np.uint64(1)) % np.uint64(m)
+        pos = np.empty(len(h) * k_hashes, np.int64)
+        for i in range(k_hashes):
+            pos[i::k_hashes] = ((h1 + np.uint64(i) * h2) %
+                                np.uint64(m)).astype(np.int64)
+        return pos
+
+    def fold(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m, bool)
+        if len(t):
+            bits[_positions(t.column(on))] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                          pa.binary())})
+
+    def or_reduce(t: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, np.uint8)
+        for b in t.column("bits").to_pylist():
+            acc |= np.frombuffer(b, np.uint8)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    folded = (
+        right.map_batches(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(or_reduce, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: ONE m_bits/8-byte bitmap row
+    bitmap = np.unpackbits(np.frombuffer(folded[0]["bits"], np.uint8))[:m]
+    bloom_ref = ray.put(bitmap)
+
+    def prefilter(keep_members: bool):
+        def f(t: pa.Table) -> pa.Table:
+            bm = ray.get(bloom_ref)
+            if not len(t):
+                return t
+            pos = _positions(t.column(on)).reshape(-1, k_hashes)
+            member = bm[pos].all(axis=1)
+            return t.filter(pa.array(member if keep_members else ~member))
+        return f
+
+    if not anti:
+        cands = left.map_batches(prefilter(True), batch_format="pyarrow")
+        return partitioned_hash_join(cands, right, on=on, how="semi")
+    definite_out = left.map_batches(prefilter(False), batch_format="pyarrow")
+    cands = left.map_batches(prefilter(True), batch_format="pyarrow")
+    checked = partitioned_hash_join(cands, right, on=on, how="anti")
+    return definite_out.union(checked)
+
+
 def partitioned_hash_join(
     left, right, on: str, n_buckets: int = 32, how: str = "inner"
 ):
@@ -255,8 +331,17 @@ def partitioned_hash_join(
         r = g.filter(pc.equal(g.column("__side"), 1)).select(right_cols)
         return l.join(r, keys=[on], join_type=arrow_how).select(all_cols)
 
+    del n_buckets  # join grain follows coalesced data volume (below)
     return (
-        tagged.repartition(n_buckets)
+        # identity-coalesce before the sort (no all-to-all): the sort's
+        # partition count then tracks data volume (~32k-row blocks)
+        # instead of upstream task count, so every range partition
+        # holds far more rows than any one key's duplicate run — a
+        # sampled boundary inside a run would mint an empty
+        # (schema-less) partition, and task-count partitions of a
+        # small filtered input put whole partitions inside one run
+        tagged.map_batches(lambda t: t, batch_size=32768,
+                           batch_format="pyarrow")
         .sort(on)
         .map_batches(join_block, batch_size=None, batch_format="pyarrow")
     )

@@ -159,6 +159,23 @@ def nations_except_asia_region(sf_dir: str):
     return ops.broadcast_semi_anti(nation, asia_keys, on="n_regionkey", anti=True)
 
 
+def orders_from_active_users_bloom(sf_dir: str):
+    """Large-large SEMI join via Bloom prefilter (ops.bloom_semi_join):
+    orders whose customer appears in the event log.  The right side's
+    key set folds into one bounded bitmap (OR-reduced distributed,
+    broadcast once); only bloom-positive candidates enter the exact
+    partitioned semi join, so the shuffle moves candidates, never the
+    orders table.  Exact for any bloom size (no false negatives; false
+    positives die in the exact join)."""
+    orders = ops.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    ev = ops.read_table(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    )
+    return ops.bloom_semi_join(orders, ev, on="o_custkey")
+
+
 def customers_without_events(sf_dir: str):
     """Large-large ANTI join (J1b family, anti variant): customers with
     no event activity.  Both sides hash-partition on the key in ONE
@@ -468,6 +485,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
     """,
+    "orders_from_active_users_bloom": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)
+    """,
     "customers_without_events": """
         SELECT c_custkey, c_name, c_acctbal FROM customer c
         WHERE NOT EXISTS (
@@ -506,6 +528,7 @@ QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "sample_orders_hash": sample_orders_hash,
     "customers_without_events": customers_without_events,
+    "orders_from_active_users_bloom": orders_from_active_users_bloom,
     "revenue_rollup_flag_status": revenue_rollup_flag_status,
     "histogram_extendedprice": histogram_extendedprice,
 }
