@@ -74,6 +74,7 @@ QUERY_NAMES = [
     "redact_pii_documents",
     "decontaminate_documents",
     "orders_from_active_users_bloom",
+    "chunk_documents",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

@@ -411,6 +411,57 @@ def redact_pii_documents(sf_dir: str, concurrency=None):
     )
 
 
+# -- document chunking (embedding-pipeline prep) ------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_TOK_RE = re.compile(r"\S+")
+
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = CHUNK_TOKENS,
+                    overlap: int = CHUNK_OVERLAP):
+    """Split documents into token-bounded overlapping chunks — the prep
+    step an embedding/training pipeline runs before batching text into
+    a model.  Stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens); the last chunk may be short; a
+    doc shorter than one chunk yields exactly one chunk.  Emits one row
+    per chunk with a deterministic (doc_id, chunk_id) key, the token
+    count, and an md5 of the space-joined tokens (hash-compact stand-in
+    for the chunk text — the gate hashes bytes, not long strings).
+
+    Row-expanding map (flat output), no shuffle at all; chunk ids are
+    positional, so any partitioning/resume yields identical rows."""
+    stride = chunk_tokens - overlap
+    assert stride > 0
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids, cids, ntoks, md5s = [], [], [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            ws = _CHUNK_TOK_RE.findall(txt)
+            n = len(ws)
+            n_chunks = 1 if n <= chunk_tokens else (
+                (n - chunk_tokens + stride - 1) // stride + 1
+            )
+            for i in range(n_chunks):
+                seg = ws[i * stride: i * stride + chunk_tokens]
+                ids.append(did)
+                cids.append(i)
+                ntoks.append(len(seg))
+                md5s.append(hashlib.md5(" ".join(seg).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+                "chunk_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
 # -- benchmark decontamination (n-gram overlap) -------------------------------
 
 _DECON_WORD_RE = re.compile(r"[a-z]+")
@@ -648,6 +699,29 @@ TEXT_ORACLE_SQL = {
     """.replace("{EM}", _PII_EMAIL)
        .replace("{IP}", _PII_IPV4)
        .replace("{PH}", _PII_PHONE),
+    # stride = 64 - 16 = 48; ws[a:b] is 1-based inclusive in DuckDB, so
+    # 0-based tokens [i*48, i*48+64) are positions i*48+1 .. i*48+64
+    "chunk_documents": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          FROM documents
+        ), meta AS (
+          SELECT doc_id, ws,
+                 CASE WHEN len(ws) <= 64 THEN 1
+                      ELSE ((len(ws) - 64 + 47) // 48) + 1
+                 END AS n_chunks
+          FROM toks
+        ), c AS (
+          SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id
+          FROM meta
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(ws[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT)
+                   AS n_tokens,
+               md5(array_to_string(ws[chunk_id*48+1 : chunk_id*48+64], ' '))
+                   AS chunk_md5
+        FROM c
+    """,
     "decontaminate_documents": r"""
         WITH toks AS (
           SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
@@ -707,4 +781,5 @@ TEXT_QUERIES = {
     "redact_pii_documents": redact_pii_documents,
     "decontaminate_documents": decontaminate_documents,
     "repetition_ratio_documents": repetition_ratio_documents,
+    "chunk_documents": chunk_documents,
 }
