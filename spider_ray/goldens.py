@@ -267,9 +267,51 @@ def hll_golden() -> pa.Table:
     )
 
 
+def resize_media_golden() -> pa.Table:
+    """Sequential fake-resize of the synthetic media corpus (images
+    only; 32x32 target; md5 of '32x32:' + payload)."""
+    ids, ws, hs, md5s = [], [], [], []
+    for i in range(256):
+        if i % 3 == 0:
+            continue  # audio rows are filtered out by the pipeline
+        seed = hashlib.sha1(f"media{i}".encode()).digest()
+        payload = seed * (8 + i % 23)
+        ids.append(i)
+        ws.append(32)
+        hs.append(32)
+        md5s.append(hashlib.md5(b"32x32:" + payload).hexdigest())
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "resized_md5": pa.array(md5s, pa.string()),
+    })
+
+
+def frame_sample_golden() -> pa.Table:
+    """Sequential frame sampling of the synthetic video corpus: every
+    4th frame; frame checksum = md5(payload + frame_idx_be32)."""
+    mids, idxs, md5s = [], [], []
+    for i in range(64):
+        seed = hashlib.sha1(f"video{i}".encode()).digest()
+        payload = seed * (16 + i % 17)
+        n_frames = 8 + seed[2] % 56
+        for fi in range(0, n_frames, 4):
+            mids.append(i)
+            idxs.append(fi)
+            md5s.append(hashlib.md5(payload + fi.to_bytes(4, "big")).hexdigest())
+    return pa.table({
+        "media_id": pa.array(mids, pa.int64()),
+        "frame_idx": pa.array(idxs, pa.int32()),
+        "frame_md5": pa.array(md5s, pa.string()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "approx_distinct_orders_hll": hll_golden,
+    "resize_media_fake": resize_media_golden,
+    "frame_sample_media": frame_sample_golden,
     "simhash_dedup_documents": simhash_pairs_golden,
     "decode_media_fake": decode_media_golden,
     "decode_media_features": decode_media_features_golden,

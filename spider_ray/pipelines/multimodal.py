@@ -186,12 +186,149 @@ def decode_media_features_query(sf_dir: str | None = None):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+class ResizeImageStage:
+    """Actor-pool resize stage (decode -> resize is the standard image
+    prep chain).  Stub: no image libs here — fake=True produces the
+    deterministic fake resize (target dims + an md5 of the payload
+    prefixed with the target geometry, standing in for resampled
+    pixels).  Real build: PIL.Image.resize in __call__, codec state in
+    __init__."""
+
+    def __init__(self, fake: bool = False, target: int = 32):
+        self.fake = fake
+        self.target = target
+        if not fake:
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "construct with fake=True to exercise the pipeline plumbing"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        payloads = batch.column("payload").to_pylist()
+        tgt = self.target
+        md5s = [
+            hashlib.md5(f"{tgt}x{tgt}:".encode() + p).hexdigest()
+            for p in payloads
+        ]
+        n = len(payloads)
+        return pa.table(
+            {
+                "media_id": ids,
+                "width": pa.array([tgt] * n, pa.int32()),
+                "height": pa.array([tgt] * n, pa.int32()),
+                "resized_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+
+def resize_media_fake_query(sf_dir: str | None = None):
+    """Decode-chain stage 2: resize every image to 32x32 (fake codec).
+    Same actor-pool/batch plumbing as the decoder; oracle is a pinned
+    sequential golden."""
+    ds = ray.data.from_arrow(synthetic_media_table())
+    images = ds.filter(expr="mime == 'image/fake'")
+    return images.map_batches(
+        ResizeImageStage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+
+def synthetic_video_table(n: int = 64) -> pa.Table:
+    """Deterministic fake video corpus: payload = seeded bytes,
+    n_frames from the seed (8..63)."""
+    ids, payloads, frames = [], [], []
+    for i in range(n):
+        seed = hashlib.sha1(f"video{i}".encode()).digest()
+        ids.append(i)
+        payloads.append(seed * (16 + i % 17))
+        frames.append(8 + seed[2] % 56)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_frames": pa.array(frames, pa.int32()),
+        },
+        schema=VIDEO_SCHEMA,
+    )
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler: every ``stride``-th frame of each
+    video becomes one output row — the row-expanding shape of real
+    frame extraction (one fat input row -> many sampled frames).  Stub:
+    ffmpeg absent — fake=True derives each frame's bytes-checksum
+    deterministically from (payload, frame_idx).  Real build: open the
+    container once per actor, seek+decode per frame."""
+
+    def __init__(self, fake: bool = False, stride: int = 4):
+        self.fake = fake
+        self.stride = stride
+        if not fake:
+            raise NotImplementedError(
+                "video codecs are not available in this environment; "
+                "construct with fake=True to exercise the pipeline plumbing"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_md5 = [], [], []
+        for mid, payload, n_frames in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+        ):
+            for fi in range(0, n_frames, self.stride):
+                out_id.append(mid)
+                out_idx.append(fi)
+                out_md5.append(
+                    hashlib.md5(payload + fi.to_bytes(4, "big")).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "frame_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+
+def frame_sample_media_query(sf_dir: str | None = None):
+    """Frame sampling over the synthetic video corpus: every 4th frame,
+    one row per sampled frame.  Oracle: pinned sequential golden."""
+    ds = ray.data.from_arrow(synthetic_video_table())
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=16,  # video rows are the fattest — smallest batches
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
 MULTIMODAL_ORACLE_SQL = {
     "decode_media_fake": golden_sql("decode_media_fake"),
     "decode_media_features": golden_sql("decode_media_features"),
+    "resize_media_fake": golden_sql("resize_media_fake"),
+    "frame_sample_media": golden_sql("frame_sample_media"),
 }
 
 MULTIMODAL_QUERIES = {
     "decode_media_fake": decode_media_fake_query,
     "decode_media_features": decode_media_features_query,
+    "resize_media_fake": resize_media_fake_query,
+    "frame_sample_media": frame_sample_media_query,
 }
