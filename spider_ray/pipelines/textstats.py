@@ -462,6 +462,25 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = CHUNK_TOKENS,
     return ds.map_batches(chunks, batch_format="pyarrow")
 
 
+def clean_corpus_pipeline(sf_dir: str):
+    """SURVEY §2.10 flagship: a corpus-prep pipeline ASSEMBLED FROM A
+    CONFIG LIST via the Step protocol (spider_ray.steps) — English
+    filter -> token-count bounds -> repetition cap -> 64/16 chunking —
+    the shape of a real training-data cleaning pass, schema-validated
+    at assembly.  Every step is the same kernel as its standalone
+    operator, so the DuckDB twin is the chained CTE of their twins."""
+    from spider_ray.steps import pipeline_from_config
+
+    ds = ops.read_table(sf_dir, "documents",
+                        columns=["doc_id", "lang", "text"])
+    return pipeline_from_config(ds, [
+        {"step": "lang_filter", "lang": "en"},
+        {"step": "token_bounds", "min_tokens": 20, "max_tokens": 2000},
+        {"step": "max_repetition", "max_rep_e6": 200_000},
+        {"step": "chunk", "chunk_tokens": 64, "overlap": 16},
+    ])
+
+
 # -- benchmark decontamination (n-gram overlap) -------------------------------
 
 _DECON_WORD_RE = re.compile(r"[a-z]+")
@@ -722,6 +741,44 @@ TEXT_ORACLE_SQL = {
                    AS chunk_md5
         FROM c
     """,
+    # the chained CTE of the standalone twins: lang filter, \S+ token
+    # bounds, word-trigram repetition cap, 64/16 chunking
+    "clean_corpus_pipeline": r"""
+        WITH en AS (
+          SELECT doc_id, text FROM documents WHERE lang = 'en'
+        ), tb AS (
+          SELECT doc_id, text FROM en
+          WHERE len(regexp_extract_all(text, '\S+')) BETWEEN 20 AND 2000
+        ), rep AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '[a-z]+') AS lws
+            FROM tb)
+          WHERE len(lws) < 3 OR
+                CAST(floor(1000000.0 * (len(lws) - 2 -
+                       len(list_distinct(list_transform(
+                           range(1, len(lws) - 1),
+                           i -> array_to_string(lws[i:i+2], ' ')))))
+                     / (len(lws) - 2) + 0.5) AS BIGINT) <= 200000
+        ), toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM rep
+        ), meta AS (
+          SELECT doc_id, ws,
+                 CASE WHEN len(ws) <= 64 THEN 1
+                      ELSE ((len(ws) - 64 + 47) // 48) + 1
+                 END AS n_chunks
+          FROM toks
+        ), c AS (
+          SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id
+          FROM meta
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(ws[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT)
+                   AS n_tokens,
+               md5(array_to_string(ws[chunk_id*48+1 : chunk_id*48+64], ' '))
+                   AS chunk_md5
+        FROM c
+    """,
     "decontaminate_documents": r"""
         WITH toks AS (
           SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
@@ -782,4 +839,5 @@ TEXT_QUERIES = {
     "decontaminate_documents": decontaminate_documents,
     "repetition_ratio_documents": repetition_ratio_documents,
     "chunk_documents": chunk_documents,
+    "clean_corpus_pipeline": clean_corpus_pipeline,
 }
