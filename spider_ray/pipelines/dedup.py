@@ -230,13 +230,13 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8,
         )
 
     def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """Pairs for ONE hash partition of (band, bucket) keys.
+        """Pairs for ONE range partition of (band, bucket) keys.
 
         A groupby((band, bucket)).map_groups would invoke Python once
         per bucket — ~1 group per SIGNATURE ROW when near-dups are rare
         (measured: ~22 s of pure per-group overhead at sf0.1 for ~2 s
-        of real work).  Instead the shuffle key is hash(band, bucket) %
-        n_parts, and inside each of the ~32 partitions a vectorized
+        of real work).  Instead the shuffle range-partitions on
+        (band, bucket) itself, and inside each partition a vectorized
         size-transform drops all singleton buckets before any per-group
         Python runs — only genuinely colliding buckets iterate."""
         sizes = df.groupby(["band", "bucket"], sort=False)["doc_id"].transform(
@@ -263,20 +263,16 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8,
             DOC_PAIRS_SCHEMA, np.concatenate(out_a), np.concatenate(out_b)
         )
 
-    n_parts = 32
-
-    def add_part(t: pa.Table) -> pa.Table:
-        b = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
-        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = ((b ^ (band * np.uint64(0x9E3779B97F4A7C15))) %
-                np.uint64(n_parts)).astype(np.int32)
-        return t.append_column("part", pa.array(part))
-
+    # co-locate each (band, bucket) by range-partitioning on the key
+    # itself (data-sized domain — never splits a bucket, no empty
+    # partitions from a dense synthetic part id); the identity map
+    # coalesces the tiny sig blocks so the sort's fan-out tracks data
+    # volume (same pattern as ops.exact_dedup / partitioned_hash_join)
     cands = (
         ds.map_batches(sig_rows, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(part_pairs, batch_format="pandas")
+        .map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
+        .sort(["band", "bucket"])
+        .map_batches(part_pairs, batch_size=None, batch_format="pandas")
     )
     cands = cands.materialize()
     thr = jaccard_threshold
@@ -472,6 +468,10 @@ def simhash_dedup_documents(sf_dir: str, max_hamming: int = 3,
 
     pairs = (
         ds.map_batches(sig_rows, batch_format="pyarrow")
+        # coalesce tiny upstream blocks so the groupby sort's fan-out
+        # tracks data volume (empty range partitions emit schema-less
+        # blocks; same pattern as ops.exact_dedup)
+        .map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
         .groupby(["band", "key"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -551,6 +551,10 @@ def embedding_near_dup(sf_dir: str, cosine_threshold: float = 0.4,
 
     pairs = (
         ds.map_batches(replicate, batch_format="pandas")
+        # coalesce tiny upstream blocks so the groupby sort's fan-out
+        # tracks data volume (empty range partitions emit schema-less
+        # blocks; same pattern as ops.exact_dedup)
+        .map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
         .groupby("pid")
         .map_groups(block_pairs, batch_format="pandas")
     )
@@ -662,6 +666,10 @@ def embedding_near_dup_lsh(sf_dir: str, cosine_threshold: float = 0.8,
 
     pairs = (
         ds.map_batches(sig_rows, batch_format="pandas")
+        # coalesce tiny upstream blocks so the groupby sort's fan-out
+        # tracks data volume (empty range partitions emit schema-less
+        # blocks; same pattern as ops.exact_dedup)
+        .map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
         .groupby(["band", "key"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
