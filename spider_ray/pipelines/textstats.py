@@ -38,19 +38,26 @@ class TextScorer:
         self.tok_re = re.compile(r"\w+|[^\w\s]+", re.UNICODE)
         self.stop = _STOPWORDS
 
-    def langid(self, text: str) -> str:
-        words = set(w.lower() for w in self.word_re.findall(text)[:200])
+    def langid_words(self, words: list[str]) -> str:
+        """Language vote over an already-lowered word list (the shared
+        tokenization — the text is scanned once per doc, r03 verdict
+        'What's wrong' #1: the old path ran word_re 2x + tok_re 1x)."""
+        wset = set(words[:200])
         best, best_n = "unknown", 0
         for lang, sw in self.stop.items():
-            n = len(words & sw)
+            n = len(wset & sw)
             if n > best_n:
                 best, best_n = lang, n
         return best
 
+    def langid(self, text: str) -> str:
+        return self.langid_words([w.lower() for w in self.word_re.findall(text)])
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"]
-        toks = texts.map(self.tok_re.findall)
-        n_tokens = toks.map(len)
+        # count-only regex pass: same non-overlapping matches as
+        # tok_re.findall but no per-doc list materialization
+        n_tokens = texts.str.count(self.tok_re)
         n_chars = texts.str.len()
         alpha = texts.str.count(r"[A-Za-z]")
         punct = texts.str.count(r"[^\w\s]")
@@ -60,17 +67,73 @@ class TextScorer:
         )
         batch["alpha_ratio"] = np.where(n_chars > 0, alpha / n_chars.clip(lower=1), 0.0)
         batch["punct_ratio"] = np.where(n_chars > 0, punct / n_chars.clip(lower=1), 0.0)
-        words = texts.map(lambda t: [w.lower() for w in self.word_re.findall(t)])
-        batch["stop_ratio"] = words.map(
-            lambda ws: sum(w in self.stop["en"] for w in ws) / max(1, len(ws))
-        )
+        # ONE word tokenization per doc, shared by stop-ratio and langid
+        # (lowering is elementwise, so lower-then-slice == slice-then-lower)
+        stop_en = self.stop["en"]
+        stop_ratio = np.empty(len(texts), np.float64)
+        lang_pred = []
+        for i, t in enumerate(texts):
+            ws = [w.lower() for w in self.word_re.findall(t)]
+            stop_ratio[i] = sum(w in stop_en for w in ws) / max(1, len(ws))
+            lang_pred.append(self.langid_words(ws))
+        batch["stop_ratio"] = stop_ratio
         batch["quality"] = (
             0.4 * batch["alpha_ratio"]
             + 0.3 * (1.0 - batch["punct_ratio"].clip(0, 1))
             + 0.3 * batch["stop_ratio"].clip(0, 0.6) / 0.6
         )
-        batch["lang_pred"] = texts.map(self.langid)
+        batch["lang_pred"] = lang_pred
         return batch
+
+
+_SCORER = TextScorer()  # module-level: regexes compile once per worker import
+
+
+def score_text_arrow(t: pa.Table) -> pa.Table:
+    """Arrow-native quality scoring: the three count scans run in
+    Arrow's RE2 kernels (the same regex engine as the DuckDB oracle's
+    regexp_extract_all — pc.count_substring_regex verified equal to
+    the old Python-re counts on the full sf0.1 corpus), and the word
+    tokenization happens ONCE per doc, shared by stop-ratio and langid
+    (r03 verdict 'What's wrong' #1: the old actor stage scanned each
+    text ~5x).  Stateless, so it runs as fused map_batches TASKS — at
+    sf0.1 the old (2,N) actor pool spent more wall time starting
+    actors than computing."""
+    import pyarrow.compute as pc
+
+    texts = t.column("text")
+    n_tokens = pc.count_substring_regex(texts, r"\w+|[^\w\s]+").to_numpy()
+    n_chars = pc.utf8_length(texts).to_numpy().astype(np.float64)
+    alpha = pc.count_substring_regex(texts, "[A-Za-z]").to_numpy()
+    punct = pc.count_substring_regex(texts, r"[^\w\s]").to_numpy()
+    denom = np.maximum(n_chars, 1.0)
+    alpha_ratio = np.where(n_chars > 0, alpha / denom, 0.0)
+    punct_ratio = np.where(n_chars > 0, punct / denom, 0.0)
+    word_re, stop_en = _SCORER.word_re, _SCORER.stop["en"]
+    stop_ratio = np.empty(len(t), np.float64)
+    lang_pred = []
+    for i, x in enumerate(texts.to_pylist()):
+        ws = [w.lower() for w in word_re.findall(x)]
+        stop_ratio[i] = sum(w in stop_en for w in ws) / max(1, len(ws))
+        lang_pred.append(_SCORER.langid_words(ws))
+    quality = (
+        0.4 * alpha_ratio
+        + 0.3 * (1.0 - np.clip(punct_ratio, 0.0, 1.0))
+        + 0.3 * np.clip(stop_ratio, 0.0, 0.6) / 0.6
+    )
+
+    def e6(v: np.ndarray) -> pa.Array:
+        return pa.array(np.floor(v * 1_000_000.0 + 0.5).astype(np.int64))
+
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_tokens": pa.array(n_tokens.astype(np.int64)),
+        "alpha_e6": e6(alpha_ratio),
+        "punct_e6": e6(punct_ratio),
+        "stop_e6": e6(stop_ratio),
+        "quality_e6": e6(quality),
+        "lang_pred": pa.array(lang_pred, pa.string()),
+    })
 
 
 def quality_score_documents(sf_dir: str, concurrency=None):
@@ -79,25 +142,8 @@ def quality_score_documents(sf_dir: str, concurrency=None):
     hashes bit-exactly (the float ratios are identical IEEE ops on
     both sides; e6 fixed-point removes any residual hash fragility)."""
     ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def to_e6(batch: pd.DataFrame) -> pd.DataFrame:
-        for c in ("alpha_ratio", "punct_ratio", "stop_ratio", "quality"):
-            batch[c.replace("_ratio", "") + "_e6"] = np.floor(
-                batch[c] * 1_000_000.0 + 0.5
-            ).astype("int64")
-        return batch
-
-    if concurrency is None:
-        # autoscaling pool sized to the cluster, not a pinned 16
-        # (VERDICT r02 'What's wrong' #5)
-        concurrency = (2, ops.cluster_parts(mult=1))
-    return ds.map_batches(
-        TextScorer, batch_format="pandas", batch_size=1024,
-        concurrency=concurrency,
-    ).map_batches(to_e6, batch_format="pandas").select_columns(
-        ["doc_id", "n_tokens", "alpha_e6", "punct_e6", "stop_e6",
-         "quality_e6", "lang_pred"]
-    )
+    return ds.map_batches(score_text_arrow, batch_format="pyarrow",
+                          batch_size=1024)
 
 
 def token_count_documents(sf_dir: str):
@@ -169,14 +215,16 @@ def fingerprint_documents(sf_dir: str):
 
 
 def lang_distribution_documents(sf_dir: str, concurrency=None):
-    """Predicted-language histogram (heuristic langid -> groupby count)."""
-    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    if concurrency is None:
-        concurrency = (2, ops.cluster_parts(mult=1))
-    scored = ds.map_batches(
-        TextScorer, batch_format="pandas", batch_size=1024,
-        concurrency=concurrency,
-    )
+    """Predicted-language histogram (heuristic langid -> groupby count).
+    Lean stage: computes ONLY lang_pred per doc (one word tokenization,
+    no quality counts), then a tiny ≤5-key groupby."""
+    ds = ops.read_table(sf_dir, "documents", columns=["text"])
+
+    def lang_only(t: pa.Table) -> pa.Table:
+        preds = [_SCORER.langid(x) for x in t.column("text").to_pylist()]
+        return pa.table({"lang_pred": pa.array(preds, pa.string())})
+
+    scored = ds.map_batches(lang_only, batch_format="pyarrow", batch_size=1024)
     out = scored.groupby("lang_pred").count()
     return out.map_batches(
         lambda t: t.rename_columns(["lang_pred", "n"]), batch_format="pyarrow"
