@@ -28,9 +28,20 @@ import ray.data
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
-    )
+    """Column-pruned read with the file's pandas index-metadata
+    STRIPPED via an explicit ``schema=``: pa.Schema.__hash__ raises on
+    dict-valued metadata, so every block carrying the testdata files'
+    ``pandas`` key defeated Ray's schema-dedup cache and spammed
+    'Failed to hash the schemas' warnings (r03 verdict item 3)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    file_schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([file_schema.field(c) for c in columns])
+    else:
+        schema = file_schema
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 def cluster_parts(mult: int = 2, floor: int = 16, cap: int = 4096) -> int:
