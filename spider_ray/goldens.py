@@ -307,8 +307,62 @@ def frame_sample_golden() -> pa.Table:
     })
 
 
+def _bpe_encode_naive(word: str, ranks: dict) -> list[bytes]:
+    """Independent twin of core/bpe.Bpe.encode_word: same spec (merge
+    the LOWEST-RANK adjacent pair, leftmost occurrence, until none
+    remains), deliberately naive — recompute every pair's rank from
+    scratch each round, no caching, no early exit."""
+    syms = [bytes([b]) for b in word.encode("utf-8")]
+    while True:
+        candidates = []
+        for i in range(len(syms) - 1):
+            pair = (syms[i], syms[i + 1])
+            if pair in ranks:
+                candidates.append((ranks[pair], i))
+        if not candidates:
+            return syms
+        _, i = min(candidates)
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2:]
+
+
+def chunk_bpe_golden(sf_dir: str = SF_DIR) -> pa.Table:
+    """Sequential 64/16 BPE chunking over documents — the vendored
+    merge table (core/bpe_merges.txt) is shared spec; the application
+    algorithm and chunk assembly are re-implemented from scratch."""
+    from spider_ray.core.bpe import load_merges
+
+    ranks = {p: i for i, p in enumerate(load_merges())}
+    word_re = re.compile(r"\S+")
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids, cids, ntoks, md5s = [], [], [], []
+    cache: dict[str, list[bytes]] = {}
+    for did, txt in sorted(zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist())):
+        toks: list[bytes] = []
+        for w in word_re.findall(txt):
+            if w not in cache:
+                cache[w] = _bpe_encode_naive(w, ranks)
+            toks.extend(cache[w])
+        n = len(toks)
+        n_chunks = 1 if n <= 64 else ((n - 64 + 47) // 48) + 1
+        for i in range(n_chunks):
+            seg = toks[i * 48: i * 48 + 64]
+            ids.append(did)
+            cids.append(i)
+            ntoks.append(len(seg))
+            md5s.append(hashlib.md5(b" ".join(seg)).hexdigest())
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "chunk_id": pa.array(cids, pa.int64()),
+        "n_tokens": pa.array(ntoks, pa.int64()),
+        "chunk_md5": pa.array(md5s, pa.string()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
+    "chunk_documents_bpe": chunk_bpe_golden,
     "approx_distinct_orders_hll": hll_golden,
     "resize_media_fake": resize_media_golden,
     "frame_sample_media": frame_sample_golden,

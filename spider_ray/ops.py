@@ -116,6 +116,20 @@ def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | Non
     val_cols = list(sums.values()) + ([counts] if counts else [])
 
     def combine_final(t: pa.Table) -> pa.Table:
+        if bounded and len(t) > 1_000_000:
+            # bounded=True funnels the final merge through ONE block —
+            # correct only for key-domain-bounded results.  A call site
+            # with a data-sized key domain that forgot bounded=False
+            # would otherwise hit an O(data) single-task merge with no
+            # warning (ADVICE r03: the dangerous choice was silent).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "partial_sum_agg(bounded=True) is merging %d partial "
+                "rows in a single block — the key domain looks "
+                "data-sized; pass bounded=False for a distributed "
+                "final merge", len(t),
+            )
         out = t.group_by(keys).aggregate([(c, "sum") for c in val_cols])
         rename = {f"{c}_sum": c for c in val_cols}
         out = out.rename_columns([rename.get(c, c) for c in out.column_names])
@@ -162,13 +176,30 @@ def grouped_final(ds, keys, fn, n_groups: int = 1,
 # broadcast hash join (small side shipped once via ray.put)
 # ---------------------------------------------------------------------------
 
-def broadcast_join(big, small_df: pd.DataFrame, on: str, how: str = "inner"):
-    small_ref = ray.put(small_df)
+_JOIN_TYPES = {"inner": "inner", "left": "left outer"}
+
+
+def broadcast_join(big, small_df, on: str, how: str = "inner"):
+    """Small side shipped ONCE as an Arrow table via ray.put, joined
+    per batch with pa.Table.join (acero hash join) — no pandas
+    round-trip, no dtype promotion (r03 verdict item 4: the old
+    to_pandas/merge/from_pandas path copied every batch twice and was
+    the dtype-promotion class that bit round 1).  Column order matches
+    the pandas-merge contract: big's columns, then small's non-key
+    columns."""
+    small = (
+        pa.Table.from_pandas(small_df, preserve_index=False)
+        if isinstance(small_df, pd.DataFrame) else small_df
+    ).combine_chunks()
+    small_ref = ray.put(small.replace_schema_metadata(None))
 
     def join_batch(t: pa.Table) -> pa.Table:
-        small = ray.get(small_ref)
-        df = t.to_pandas().merge(small, on=on, how=how)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        s = ray.get(small_ref)
+        j = t.join(s, keys=on, join_type=_JOIN_TYPES[how])
+        cols = list(t.column_names) + [
+            c for c in s.column_names if c != on
+        ]
+        return j.select(cols)
 
     return big.map_batches(join_batch, batch_format="pyarrow")
 
@@ -211,8 +242,27 @@ def bloom_semi_join(left, right, on: str, m_bits: int = 1 << 20,
     nbytes = (m + 7) // 8
 
     def _positions(key_col) -> np.ndarray:
+        # Normalize the materialized dtype BEFORE hashing: pd.util.
+        # hash_array is dtype-sensitive, and an int64 Arrow column
+        # containing any null materializes as float64 (strings with
+        # nulls as object-with-None), so the two sides of the join
+        # could hash identical keys differently -> Bloom FALSE
+        # NEGATIVES, silently dropping true matches (ADVICE r03).
+        # Null keys never match an equi-join anyway, so they are
+        # rejected explicitly rather than hashed inconsistently.
+        col = (
+            key_col.combine_chunks()
+            if isinstance(key_col, pa.ChunkedArray) else key_col
+        )
+        if col.null_count:
+            raise ValueError(
+                "bloom_semi_join: null join keys are not supported "
+                f"({col.null_count} nulls in {on!r}); filter them first"
+            )
+        if pa.types.is_integer(col.type):
+            col = col.cast(pa.int64())
         h = pd.util.hash_array(
-            key_col.to_numpy(zero_copy_only=False)
+            col.to_numpy(zero_copy_only=False)
         ).astype(np.uint64)
         h1 = h % np.uint64(m)
         h2 = ((h >> np.uint64(32)) | np.uint64(1)) % np.uint64(m)
@@ -443,7 +493,14 @@ def connected_components(
         out = t.select(["node", "label"]).group_by(["node"]).aggregate(
             [("label", "min")]
         )
-        return out.rename_columns(["node", "label"])
+        # rename BY NAME: pyarrow's aggregate column order flipped
+        # across releases (aggregates-first pre-16, keys-first in 16.x)
+        # — a positional rename silently swaps node and label on the
+        # other ordering (ADVICE r03)
+        ren = {"label_min": "label"}
+        return out.rename_columns(
+            [ren.get(c, c) for c in out.column_names]
+        ).select(["node", "label"])
 
     # the per-sweep join ranges over NODE values but only edge-touching
     # nodes produce rows, so many join partitions come out 0-row; pack

@@ -510,6 +510,62 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = CHUNK_TOKENS,
     return ds.map_batches(chunks, batch_format="pyarrow")
 
 
+class BpeChunker:
+    """Actor-pool chunker over the vendored byte-level BPE
+    (core/bpe.py): same 64/16 windowing spec as chunk_documents, but a
+    token is a BPE token instead of a whitespace word — the granularity
+    a real training pipeline chunks at (VERDICT r03 next-round #7).
+    The merge-rank table (the tokenizer "model") loads ONCE per actor
+    here, never per batch; chunk_md5 hashes the space-joined token
+    bytes, so correctness covers the token STREAM, not just counts."""
+
+    def __init__(self, chunk_tokens: int = CHUNK_TOKENS,
+                 overlap: int = CHUNK_OVERLAP):
+        from spider_ray.core.bpe import Bpe
+
+        self.bpe = Bpe()
+        self.chunk_tokens = chunk_tokens
+        self.stride = chunk_tokens - overlap
+        assert self.stride > 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, cids, ntoks, md5s = [], [], [], []
+        chunk_tokens, stride, bpe = self.chunk_tokens, self.stride, self.bpe
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            toks = bpe.encode(txt)
+            n = len(toks)
+            n_chunks = 1 if n <= chunk_tokens else (
+                (n - chunk_tokens + stride - 1) // stride + 1
+            )
+            for i in range(n_chunks):
+                seg = toks[i * stride: i * stride + chunk_tokens]
+                ids.append(did)
+                cids.append(i)
+                ntoks.append(len(seg))
+                md5s.append(hashlib.md5(b" ".join(seg)).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+                "chunk_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+
+def chunk_documents_bpe(sf_dir: str, concurrency=(1, 8)):
+    """BPE-token chunking of the documents table.  Row-expanding map,
+    no shuffle; chunk ids positional, so partitioning/resume invariant.
+    Oracle: pinned sequential golden (independent naive-merge-order BPE
+    in goldens.py)."""
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        BpeChunker, concurrency=concurrency, batch_size=256,
+        batch_format="pyarrow",
+    )
+
+
 def clean_corpus_pipeline(sf_dir: str):
     """SURVEY §2.10 flagship: a corpus-prep pipeline ASSEMBLED FROM A
     CONFIG LIST via the Step protocol (spider_ray.steps) — English
@@ -789,6 +845,10 @@ TEXT_ORACLE_SQL = {
                    AS chunk_md5
         FROM c
     """,
+    # BPE token stream is not SQL-expressible: pinned sequential golden
+    # (goldens.py applies the vendored merge table with an independent
+    # naive min-rank scan)
+    "chunk_documents_bpe": golden_sql("chunk_documents_bpe"),
     # the chained CTE of the standalone twins: lang filter, \S+ token
     # bounds, word-trigram repetition cap, 64/16 chunking
     "clean_corpus_pipeline": r"""
@@ -887,5 +947,6 @@ TEXT_QUERIES = {
     "decontaminate_documents": decontaminate_documents,
     "repetition_ratio_documents": repetition_ratio_documents,
     "chunk_documents": chunk_documents,
+    "chunk_documents_bpe": chunk_documents_bpe,
     "clean_corpus_pipeline": clean_corpus_pipeline,
 }

@@ -139,6 +139,27 @@ def _chunk(cfg: dict):
     return f
 
 
+def _chunk_bpe(cfg: dict):
+    """BPE-token variant of the chunk step (vendored tokenizer,
+    core/bpe.py).  Returns the BpeChunker CLASS-backed callable via a
+    closure that builds the tokenizer once per worker process — the
+    Step protocol's make() returns a plain callable, so the rank table
+    is lazily constructed on first batch and cached."""
+    from spider_ray.pipelines.textstats import BpeChunker
+
+    chunker_box: list = []
+
+    def f(t: pa.Table) -> pa.Table:
+        if not chunker_box:
+            chunker_box.append(BpeChunker(
+                chunk_tokens=int(cfg.get("chunk_tokens", 64)),
+                overlap=int(cfg.get("overlap", 16)),
+            ))
+        return chunker_box[0](t)
+
+    return f
+
+
 STEP_REGISTRY: dict[str, Step] = {
     "lang_filter": Step(
         name="lang_filter",
@@ -163,6 +184,12 @@ STEP_REGISTRY: dict[str, Step] = {
         schema_in=("doc_id", "text"),
         schema_out=("doc_id", "chunk_id", "n_tokens", "chunk_md5"),
         make=_chunk,
+    ),
+    "chunk_bpe": Step(
+        name="chunk_bpe",
+        schema_in=("doc_id", "text"),
+        schema_out=("doc_id", "chunk_id", "n_tokens", "chunk_md5"),
+        make=_chunk_bpe,
     ),
 }
 
