@@ -200,6 +200,33 @@ _SEG_SPLIT = re.compile(
 )
 _BLOCK_CACHE: dict = {}
 
+# ---- whole-segment C-path -------------------------------------------------
+# The per-tag replay loop (split -> dict lookup -> append per tag) is
+# pure Python overhead when nothing in the segment needs per-tag
+# logic.  Two subs rewrite an ENTIRE segment in C: block-tag
+# open/close -> "\x01" (newline sentinel), every remaining tag ->
+# "\x00" (text-node boundary sentinel).  One "\x01" per block tag is
+# enough even for self-closed blocks (the event stream says open+close
+# = "\n\n") because _finish drops empty lines — any run of >= 1
+# newline separates the same two lines; the final TEXT is identical.
+# Neither sentinel is \s, so one whitespace-collapse pass over the
+# rewritten segment cannot merge runs across text nodes or absorb
+# block newlines — per-node semantics survive the batching.  _scan
+# falls back to the replay loop whenever the rewrite could be
+# ambiguous (literal sentinel bytes in the html, a '<' left over from
+# a tag nested in an attribute value, an entity decoding to a
+# sentinel).
+_BLOCK_NAMES = (
+    r"(?:p|div|section|article|h[1-6]|li|ul|ol|table|tr|br|title"
+    r"|header|footer|nav|blockquote|pre)(?![-.a-zA-Z0-9:_])"
+)
+_BLOCK_ANY = re.compile(
+    r"</?" + _BLOCK_NAMES + _WF_ATTRS + r"\s*/?>", re.IGNORECASE
+)
+_ANY_TAG = re.compile(
+    r"</?[a-zA-Z][-.a-zA-Z0-9:_]*" + _WF_ATTRS + r"\s*/?>", re.IGNORECASE
+)
+
 
 def _scan(html: str) -> tuple[list[str], list[str]]:
     """One pass -> (text pieces, hrefs), HTMLParser-equivalent.
@@ -252,7 +279,28 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                 # subtree close)
                 pos = sm.end()
                 continue
-            parts = seg_split(sm.group(0))
+            seg = sm.group(0)
+            # whole-segment C-path (see _BLOCK_SELF block comment)
+            if "\x00" not in seg and "\x01" not in seg:
+                t = _ANY_TAG.sub("\x00", _BLOCK_ANY.sub("\x01", seg))
+                if "<" not in t:
+                    # no leftover '<': no block/boring sub fired inside
+                    # another tag's quoted attribute value
+                    ok = True
+                    if "&" in t:
+                        u = _unescape(t)
+                        if (u.count("\x00") != t.count("\x00")
+                                or u.count("\x01") != t.count("\x01")):
+                            ok = False  # an entity decoded to a sentinel
+                        else:
+                            t = u
+                    if ok:
+                        append(ws_sub(" ", t)
+                               .replace("\x00", "").replace("\x01", "\n"))
+                        pos = sm.end()
+                        continue
+            # careful replay: one event per tag, exactly the stdlib's
+            parts = seg_split(seg)
             data = parts[0]
             if data:
                 if "&" in data:
