@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_worker_importable()
     from spider_ray.pipelines.ann import ANN_QUERIES
     from spider_ray.pipelines.dedup import DEDUP_QUERIES
+    from spider_ray.pipelines.graph import GRAPH_QUERIES
     from spider_ray.pipelines.multimodal import MULTIMODAL_QUERIES
     from spider_ray.pipelines.relational import QUERIES
     from spider_ray.pipelines.sketch import SKETCH_QUERIES
@@ -190,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(SKETCH_QUERIES)
     out.update(TEXT_QUERIES)
     out.update(DEDUP_QUERIES)
+    out.update(GRAPH_QUERIES)
     out.update(ANN_QUERIES)
     out.update(MULTIMODAL_QUERIES)
     return out
@@ -203,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
     invariance and property tests)."""
     from spider_ray.pipelines.ann import ANN_ORACLE_SQL
     from spider_ray.pipelines.dedup import DEDUP_ORACLE_SQL
+    from spider_ray.pipelines.graph import GRAPH_ORACLE_SQL
     from spider_ray.pipelines.multimodal import MULTIMODAL_ORACLE_SQL
     from spider_ray.pipelines.relational import ORACLE_SQL
     from spider_ray.pipelines.sketch import SKETCH_ORACLE_SQL
@@ -228,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SKETCH_ORACLE_SQL)
     out.update(TEXT_ORACLE_SQL)
     out.update(DEDUP_ORACLE_SQL)
+    out.update(GRAPH_ORACLE_SQL)
     out.update(ANN_ORACLE_SQL)
     out.update(MULTIMODAL_ORACLE_SQL)
     return out

@@ -1078,6 +1078,82 @@ def dedup_incremental_documents(sf_dir: str, jaccard_threshold: float = 0.8,
     )
 
 
+# ---------------------------------------------------------------------------
+# duplicated n-gram fraction (fine-grained dup signal; the per-doc
+# counterpart of decontamination's corpus-vs-bench overlap)
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_N = 5
+
+
+def dup_ngram_fraction_documents(sf_dir: str, n: int = DUP_NGRAM_N):
+    """Per document: the fraction of its DISTINCT word n-grams that
+    also occur in at least one other document — the span-level
+    duplication signal behind substring-dedup policies (a doc that is
+    40% duplicated n-grams is boilerplate even if no whole-doc near-dup
+    fires).  Docs with fewer than n words emit no row.
+
+    Scale shape: classic inverted-index double shuffle — (doc_id, gram)
+    distinct rows, partial-agg'd per batch, ONE gram-keyed shuffle for
+    document frequency, ONE gram-keyed co-partition join to flag shared
+    grams, ONE doc-keyed partial agg for the per-doc fraction.  Gram
+    strings (not hashes) are the keys so the DuckDB twin is exact."""
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        dids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out_d: list[int] = []
+        out_g: list[str] = []
+        for d, txt in zip(dids, t.column("text").to_pylist()):
+            ws = [w.lower() for w in _WORD_RE.findall(txt)]
+            if len(ws) < n:
+                continue
+            grams = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+            out_d.extend([int(d)] * len(grams))
+            out_g.extend(grams)
+        return pa.table(
+            {"doc_id": pa.array(out_d, pa.int64()),
+             "gram": pa.array(out_g, pa.string())}
+        )
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
+
+    # document frequency per gram: rows are distinct per doc, so a
+    # count is a distinct-doc count; gram domain is data-sized
+    counts = ops.partial_sum_agg(
+        grams, keys=["gram"], sums={}, counts="n_docs", bounded=False
+    )
+    joined = ops.partitioned_hash_join(grams, counts, on="gram")
+
+    def flags(t: pa.Table) -> pa.Table:
+        shared = pc.cast(
+            pc.greater_equal(t.column("n_docs"), 2), pa.int64()
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "one": pa.array(np.ones(len(t), np.int64)),
+             "shared": shared}
+        )
+
+    per_doc = ops.partial_sum_agg(
+        joined, pre=flags, keys=["doc_id"],
+        sums={"one": "n_grams", "shared": "n_shared"}, counts=None,
+        bounded=False,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t.column("n_grams").to_numpy(zero_copy_only=False)
+        sh = t.column("n_shared").to_numpy(zero_copy_only=False)
+        e6 = np.floor(sh.astype(np.float64) / tot * 1_000_000.0 + 0.5)
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_grams": t.column("n_grams"),
+             "dup_frac_e6": pa.array(e6.astype(np.int64))}
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 DEDUP_ORACLE_SQL = {
     "exact_dedup_documents": """
         SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
@@ -1255,10 +1331,35 @@ DEDUP_ORACLE_SQL["dedup_clusters_minhash"] = r"""
     FROM lab l JOIN sz USING (cluster_id)
 """
 
+DEDUP_ORACLE_SQL["dup_ngram_fraction"] = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '\w+'),
+                            w -> lower(w)) AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, len(ws) - {DUP_NGRAM_N} + 2),
+                 i -> array_to_string(ws[i:i + {DUP_NGRAM_N} - 1], ' ')
+             ))) AS gram
+      FROM toks WHERE len(ws) >= {DUP_NGRAM_N}
+    ),
+    c AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(floor(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                / COUNT(*) * 1000000 + 0.5) AS BIGINT) AS dup_frac_e6
+    FROM g JOIN c USING (gram)
+    GROUP BY g.doc_id
+"""
+
 DEDUP_QUERIES = {
     "exact_dedup_documents": exact_dedup_documents,
     "dedup_clusters_minhash": dedup_clusters_minhash,
     "dedup_incremental": dedup_incremental_documents,
+    "dup_ngram_fraction": dup_ngram_fraction_documents,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_dedup_documents": simhash_dedup_documents,

@@ -193,6 +193,42 @@ def customers_without_events(sf_dir: str):
     )
 
 
+def customers_events_full_outer(sf_dir: str):
+    """FULL OUTER join (J1b family, outer variant): per-user event
+    counts against the BUILDING-segment customers — keeps customers
+    with no events (NULL count side) AND event users outside the
+    segment (NULL attribute side); the segment filter makes both null
+    sides non-vacuous on the fixture.  Counts pre-aggregate per batch
+    before the ONE co-partition shuffle (ops.partial_sum_agg,
+    data-sized key domain), so the join moves one row per user, not
+    one per event."""
+    cust = ops.read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("c_mktsegment"), "BUILDING")
+        ).rename_columns(["user_key", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    ev = ops.read_table(sf_dir, "events", columns=["user_id"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({"user_key": t.column("user_id").cast(pa.int64())})
+
+    counts = ops.partial_sum_agg(
+        ev, pre=pre, keys=["user_key"], sums={}, counts="n_events",
+        bounded=False,
+    )
+    joined = ops.partitioned_hash_join(
+        counts, cust, on="user_key", how="outer",
+        n_buckets=ops.cluster_parts(),
+    )
+    return joined.map_batches(
+        lambda t: t.select(["user_key", "n_events", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+
+
 # -- 2.8 JSON scalar function ------------------------------------------------
 
 def events_json_extract(sf_dir: str):
@@ -495,6 +531,18 @@ ORACLE_SQL: dict[str, str] = {
         WHERE NOT EXISTS (
           SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
     """,
+    "customers_events_full_outer": """
+        WITH ec AS (
+          SELECT user_id AS user_key, COUNT(*) AS n_events
+          FROM events GROUP BY user_id
+        ), cb AS (
+          SELECT c_custkey, c_mktsegment FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT COALESCE(ec.user_key, cb.c_custkey) AS user_key,
+               ec.n_events, cb.c_mktsegment
+        FROM ec FULL OUTER JOIN cb ON ec.user_key = cb.c_custkey
+    """,
     "revenue_rollup_flag_status": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
@@ -528,6 +576,7 @@ QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "sample_orders_hash": sample_orders_hash,
     "customers_without_events": customers_without_events,
+    "customers_events_full_outer": customers_events_full_outer,
     "orders_from_active_users_bloom": orders_from_active_users_bloom,
     "revenue_rollup_flag_status": revenue_rollup_flag_status,
     "histogram_extendedprice": histogram_extendedprice,

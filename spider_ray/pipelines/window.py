@@ -310,8 +310,41 @@ def quantiles_lineitem(sf_dir: str):
     )
 
 
+def event_gaps_lag(sf_dir: str):
+    """LAG window: per user, seconds since the previous event (NULL
+    for the first) — ``ts - lag(ts) OVER (PARTITION BY user_id ORDER
+    BY ts, event_id)``.  Same scale shape as sessionize: the window's
+    partition key (user_id) is the range-partition key, so each user's
+    ordered history is complete inside one block and a vectorized
+    groupby-diff reproduces the sequential window exactly."""
+    ds = ops.read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_parts = ops.cluster_parts()
+
+    def lag_gap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gap = g.groupby("user_id", sort=False)["ts"].diff()
+        # integer microseconds: exact in both engines (float seconds
+        # would round against the DuckDB epoch_us twin).  First event
+        # per user carries -1, not NULL: a nullable BIGINT comes back
+        # from the DuckDB twin as float64 and would flip the driver's
+        # dtype-sensitive value hash.
+        g = g.assign(
+            gap_us=(gap / pd.Timedelta(microseconds=1))
+            .fillna(-1.0)
+            .astype("int64")
+        )
+        return g[["event_id", "user_id", "gap_us"]]
+
+    return (
+        ds.repartition(n_parts)
+        .sort("user_id")
+        .map_batches(lag_gap, batch_size=None, batch_format="pandas")
+    )
+
+
 WINDOW_QUERIES = {
     "sessionize_events": sessionize_events,
+    "event_gaps_lag": event_gaps_lag,
     "grouped_topk_orders": grouped_topk_orders,
     "cumulative_revenue_by_priority": cumulative_revenue_by_priority,
     "pivot_events_by_type": pivot_events_by_type,
@@ -320,6 +353,13 @@ WINDOW_QUERIES = {
 }
 
 WINDOW_ORACLE_SQL = {
+    "event_gaps_lag": """
+        SELECT event_id, user_id,
+               CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                    ), -1) AS BIGINT) AS gap_us
+        FROM events
+    """,
     "events_sliding_window": """
         WITH e AS (
           SELECT event_type,
