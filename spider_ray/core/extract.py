@@ -29,6 +29,28 @@ from html.parser import HTMLParser
 
 _WS_RUN = re.compile(r"\s+")
 
+# ---- whitespace-collapse fast path -----------------------------------------
+# `_WS_RUN.sub(" ", t)` pays ~17ns/byte of generic regex scanning even
+# when the text is already collapsed (it "replaces" every single space
+# with a space).  For ASCII text — the overwhelming byte mass of a
+# crawl — the \s set is exactly {\t \n \v \f \r \x1c-\x1f ' '}
+# (verified exhaustively over all 128 codepoints in
+# tests/test_extract_fast.py), so a C-level str.translate to ' '
+# followed by a literal-prefixed "  +" collapse is byte-identical and
+# ~6x faster (0.203s -> 0.035s over 11.7 MB of benchfat segments).
+# Non-ASCII falls back to the regex (unicode \s is version-defined —
+# never hand-roll it).
+_WS_TABLE = {c: 0x20 for c in (9, 10, 11, 12, 13, 0x1C, 0x1D, 0x1E, 0x1F)}
+_SP_RUN = re.compile("  +")
+_sp_sub = _SP_RUN.sub
+
+
+def _ws_collapse(t: str) -> str:
+    if t.isascii():
+        t = t.translate(_WS_TABLE)
+        return _sp_sub(" ", t) if "  " in t else t
+    return _WS_RUN.sub(" ", t)
+
 SKIP_TAGS = frozenset(
     ("script", "style", "noscript", "template", "head", "iframe", "svg")
 )
@@ -254,7 +276,7 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
     pos = 0
     find = html.find
     tok = _TOK.match
-    ws_sub = _WS_RUN.sub
+    ws_sub = _ws_collapse  # ASCII fast path, regex fallback
 
     def flush_eof(at: int) -> None:
         # any construct unterminated at EOF: HTMLParser flushes the
@@ -263,7 +285,7 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
             data = html[at:]
             if "&" in data:
                 data = _unescape(data)
-            append(ws_sub(" ", data))
+            append(ws_sub(data))
 
     seg_match = _SEG.match
     seg_split = _SEG_SPLIT.split
@@ -295,7 +317,7 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                         else:
                             t = u
                     if ok:
-                        append(ws_sub(" ", t)
+                        append(ws_sub(t)
                                .replace("\x00", "").replace("\x01", "\n"))
                         pos = sm.end()
                         continue
@@ -305,7 +327,7 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
             if data:
                 if "&" in data:
                     data = _unescape(data)
-                append(ws_sub(" ", data))
+                append(ws_sub(data))
             i = 1
             np_ = len(parts)
             while i < np_:
@@ -323,7 +345,7 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                 if data:
                     if "&" in data:
                         data = _unescape(data)
-                    append(ws_sub(" ", data))
+                    append(ws_sub(data))
                 i += 4
             pos = sm.end()
             continue
@@ -334,7 +356,7 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                 data = m.group(0)
                 if "&" in data:
                     data = _unescape(data)
-                append(ws_sub(" ", data))
+                append(ws_sub(data))
             pos = m.end()
             continue
         if lg == "sc":
@@ -452,7 +474,7 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                     data = html[pos:stop]
                     if "&" in data:
                         data = _unescape(data)
-                    append(ws_sub(" ", data))
+                    append(ws_sub(data))
                 pos = stop
                 continue
             else:
@@ -461,7 +483,7 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                 # end-not-in-('>','/>') path, no unescape)
                 stop = k if k > pos + 1 else pos + 1
                 if skip_depth == 0:
-                    append(ws_sub(" ", html[pos:stop]))
+                    append(ws_sub(html[pos:stop]))
                 pos = stop
                 continue
 
