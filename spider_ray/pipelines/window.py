@@ -342,8 +342,82 @@ def event_gaps_lag(sf_dir: str):
     )
 
 
+def rolling_sum_events(sf_dir: str, frame: int = 3):
+    """Bounded window frame: per user, the sum of ``value`` over the
+    current and the two preceding events — ``SUM() OVER (PARTITION BY
+    user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW)``.  Same scale shape as sessionize/event_gaps_lag: the frame
+    never crosses the range-partition key, and pandas' C rolling kernel
+    computes every frame in one vectorized pass per block.  Values go
+    through the e2 fixed-point cast BEFORE summing so both engines add
+    the same integers."""
+    ds = ops.read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    n_parts = ops.cluster_parts()
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v2 = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = g.assign(_v2=v2)
+        s = (
+            g.groupby("user_id", sort=False)["_v2"]
+            .rolling(frame, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+            .astype("int64")
+        )
+        g = g.assign(roll_value_e2=s)
+        return g[["event_id", "user_id", "roll_value_e2"]]
+
+    return (
+        ds.repartition(n_parts)
+        .sort("user_id")
+        .map_batches(roll, batch_size=None, batch_format="pandas")
+    )
+
+
+def rank_orders_per_customer(sf_dir: str):
+    """Ranking window functions: per customer, each order's
+    ``row_number`` and ``dense_rank`` by (totalprice DESC, orderkey).
+    Distinct from grouped-top-k (which TRUNCATES): every row survives
+    with its rank attached.  Prices rank via the e2 fixed-point cast so
+    engine and twin break ties identically."""
+    ds = ops.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    n_parts = ops.cluster_parts()
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        p2 = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        g = g.assign(price_e2=p2)
+        g = g.sort_values(
+            ["o_custkey", "price_e2", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        grp = g.groupby("o_custkey", sort=False)
+        g = g.assign(
+            rn=grp.cumcount().astype("int64") + 1,
+            dr=grp["price_e2"]
+            .transform(lambda s: s.ne(s.shift()).cumsum())
+            .astype("int64"),
+        )
+        return g[["o_orderkey", "o_custkey", "rn", "dr"]]
+
+    return (
+        ds.repartition(n_parts)
+        .sort("o_custkey")
+        .map_batches(rank, batch_size=None, batch_format="pandas")
+    )
+
+
 WINDOW_QUERIES = {
     "sessionize_events": sessionize_events,
+    "rolling_sum_events": rolling_sum_events,
+    "rank_orders_per_customer": rank_orders_per_customer,
     "event_gaps_lag": event_gaps_lag,
     "grouped_topk_orders": grouped_topk_orders,
     "cumulative_revenue_by_priority": cumulative_revenue_by_priority,
@@ -353,6 +427,28 @@ WINDOW_QUERIES = {
 }
 
 WINDOW_ORACLE_SQL = {
+    "rolling_sum_events": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS roll_value_e2
+        FROM events
+    """,
+    "rank_orders_per_customer": """
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          DESC, o_orderkey
+               ) AS rn,
+               dense_rank() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          DESC
+               ) AS dr
+        FROM orders
+    """,
     "event_gaps_lag": """
         SELECT event_id, user_id,
                CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
