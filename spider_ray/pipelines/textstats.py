@@ -684,7 +684,98 @@ def repetition_ratio_documents(sf_dir: str):
     return ds.map_batches(rep, batch_format="pyarrow")
 
 
+# -- deterministic split / shard-shuffle (training-set assembly) --------------
+
+def split_train_val_test_documents(sf_dir: str):
+    """Deterministic ~90/5/5 train/val/test assignment by
+    md5(doc_id) first byte — the standard content-keyed split: any
+    partitioning, resume or re-run assigns every document to the SAME
+    split, and adding documents never reassigns existing ones
+    (unlike row-number modulo splits).  Stateless vectorized map, no
+    shuffle."""
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        b = np.fromiter(
+            (hashlib.md5(str(k).encode()).digest()[0] for k in ids),
+            np.int64, len(ids),
+        )
+        split = np.where(b < 230, "train", np.where(b < 243, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SHUFFLE_SHARDS = 16
+
+
+def shard_shuffle_documents(sf_dir: str, n_shards: int = SHUFFLE_SHARDS):
+    """Deterministic global shuffle for training-data writing: every
+    document gets (shard, pos) — shard from the md5 key space, pos =
+    its rank within the shard under md5 order.  This is the shuffle a
+    training pipeline actually materializes (shard files, each
+    internally permuted); content-keyed so it is partition/resume
+    invariant, unlike ``Dataset.random_shuffle``.  ONE range-partition
+    shuffle on the shard key; ranks are a vectorized per-group sort
+    (each shard's rows are complete inside its partition)."""
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hexes = [hashlib.md5(str(k).encode()).hexdigest() for k in ids]
+        shard = np.fromiter(
+            (int(h[:2], 16) % n_shards for h in hexes), np.int64, len(ids)
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": pa.array(shard),
+                "h": pa.array(hexes, pa.string()),
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "h", "doc_id"], kind="mergesort")
+        g = g.assign(
+            pos=g.groupby("shard", sort=False).cumcount().astype("int64") + 1
+        )
+        return g[["doc_id", "shard", "pos"]]
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .repartition(ops.cluster_parts())
+        .sort("shard")
+        .map_batches(rank, batch_size=None, batch_format="pandas")
+    )
+
+
 TEXT_ORACLE_SQL = {
+    "split_train_val_test": """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "shard_shuffle_documents": f"""
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT
+                    % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               row_number() OVER (
+                 PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 2))::INT % {SHUFFLE_SHARDS}
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS pos
+        FROM documents
+    """,
     "stratified_sample_documents": """
         SELECT lang, doc_id, n_chars, rank FROM (
           SELECT lang, doc_id, n_chars,
@@ -937,6 +1028,8 @@ TEXT_ORACLE_SQL = {
 }
 
 TEXT_QUERIES = {
+    "split_train_val_test": split_train_val_test_documents,
+    "shard_shuffle_documents": shard_shuffle_documents,
     "stratified_sample_documents": stratified_sample_documents,
     "tfidf_top_terms": tfidf_top_terms,
     "quality_score_documents": quality_score_documents,
