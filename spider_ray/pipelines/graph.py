@@ -21,7 +21,9 @@ driver's value hash.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from spider_ray import ops
 
@@ -132,10 +134,101 @@ def _pagerank_sql(iterations: int = PR_ITERATIONS) -> str:
     """
 
 
+def degree_distribution(sf_dir: str):
+    """Degree histogram of the order-part graph: (degree, n_nodes).
+    Two chained partial aggregates — the first (per-node degree) has a
+    data-sized key domain so it range-partitions; the second's key
+    domain is bounded by the max basket size, so it tree-combines into
+    one block.  The classic 'aggregate of an aggregate' shape with the
+    right bounded/unbounded choice at each level."""
+    edges_deg = _edges_deg(sf_dir)
+    deg_nodes = ops.exact_dedup(
+        edges_deg.map_batches(
+            lambda t: t.select(["src", "d"]), batch_format="pyarrow"
+        ),
+        keys=["src"], order_by=[],
+    )
+    dist = ops.partial_sum_agg(
+        deg_nodes,
+        pre=lambda t: pa.table({"d": t.column("d")}),
+        keys=["d"], sums={}, counts="n_nodes",
+    )
+    return dist.sort("d")
+
+
+MIN_PAIR_COUNT = 2
+
+
+def copurchase_pairs(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
+    """Market-basket pair counting: part pairs co-occurring in at least
+    ``min_count`` orders.  The self-join explosion is bounded BY DATA
+    SHAPE: pairs are generated inside each order's basket (<= 7 items
+    -> <= 21 pairs per order), never by a table-level self-join, so the
+    expansion is O(rows x basket) regardless of corpus size.  One
+    orderkey range-partition co-locates each basket; pair counts
+    pre-aggregate per batch before the single pair-keyed shuffle."""
+    li = ops.read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort"
+        )
+        o = df["l_orderkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        ends = np.r_[starts[1:], len(o)]
+        p1s: list[int] = []
+        p2s: list[int] = []
+        # per-basket combination loop: bounded by the basket size (<=7
+        # items), not by data volume — this is the documented contract
+        for s, e in zip(starts, ends):
+            basket = p[s:e]
+            for i in range(len(basket) - 1):
+                for j in range(i + 1, len(basket)):
+                    p1s.append(int(basket[i]))
+                    p2s.append(int(basket[j]))
+        return pd.DataFrame({"p1": p1s, "p2": p2s})
+
+    pair_rows = (
+        li.repartition(ops.cluster_parts())
+        .sort("l_orderkey")
+        .map_batches(pairs, batch_size=None, batch_format="pandas")
+    )
+    counts = ops.partial_sum_agg(
+        pair_rows, keys=["p1", "p2"], sums={}, counts="n_orders",
+        bounded=False,
+    )
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_orders"), min_count)),
+        batch_format="pyarrow",
+    ).sort(["p1", "p2"])
+
+
 GRAPH_QUERIES = {
     "pagerank_order_part": pagerank_order_part,
+    "degree_distribution": degree_distribution,
+    "copurchase_pairs": copurchase_pairs,
 }
 
 GRAPH_ORACLE_SQL = {
     "pagerank_order_part": _pagerank_sql(),
+    "degree_distribution": """
+        WITH e0 AS (
+          SELECT DISTINCT 2 * l_orderkey AS src, 2 * l_partkey + 1 AS dst
+          FROM lineitem
+        ),
+        edges AS (
+          SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        ),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+        SELECT d, COUNT(*) AS n_nodes FROM deg GROUP BY d
+    """,
+    "copurchase_pairs": f"""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_COUNT}
+    """,
 }
