@@ -64,12 +64,17 @@ def cluster_parts(mult: int = 2, floor: int = 16, cap: int = 4096) -> int:
 
 def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | None,
                     pre=None, final_parts: int | None = None,
-                    bounded: bool = True):
-    """SUM/COUNT groupby with per-batch pre-aggregation.
+                    bounded: bool = True,
+                    mins: dict[str, str] | None = None,
+                    maxs: dict[str, str] | None = None):
+    """SUM/COUNT/MIN/MAX groupby with per-batch pre-aggregation.
 
-    ``sums`` maps source column -> output name; ``counts`` names an
-    output row-count column.  The shuffle input is one row per key per
-    batch instead of one row per input row.
+    ``sums``/``mins``/``maxs`` map source column -> output name;
+    ``counts`` names an output row-count column.  The shuffle input is
+    one row per key per batch instead of one row per input row; the
+    final merge re-combines each column with its own algebra (sum of
+    sums, min of mins, max of maxs — all decomposable, so the partial
+    shape is exact).
 
     ``pre`` (optional, Table -> Table) runs inside the SAME map_batches
     as the combine, so projections that feed the aggregate (e.g. the
@@ -95,25 +100,37 @@ def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | Non
     ``final_parts`` overrides the intermediate fan-in of the tree
     combine (rarely needed).
     """
-    src_cols = list(sums)
+    mins = mins or {}
+    maxs = maxs or {}
+    src_cols = sorted({*sums, *mins, *maxs})
+    # (output name, arrow agg fn) in a pinned order; counts last
+    out_spec = (
+        [(v, "sum", c) for c, v in sums.items()]
+        + [(v, "min", c) for c, v in mins.items()]
+        + [(v, "max", c) for c, v in maxs.items()]
+    )
 
     def combine(t: pa.Table) -> pa.Table:
         if pre is not None:
             t = pre(t)
-        aggs = [(c, "sum") for c in src_cols]
+        aggs = [(c, fn) for _, fn, c in out_spec]
         if counts:
             aggs.append(([], "count_all"))
         out = t.select(keys + src_cols).group_by(keys).aggregate(aggs)
-        rename = {f"{c}_sum": v for c, v in sums.items()}
+        rename = {f"{c}_{fn}": v for v, fn, c in out_spec}
         if counts:
             rename["count_all"] = counts
         out = out.rename_columns([rename.get(c, c) for c in out.column_names])
-        order = keys + list(sums.values()) + ([counts] if counts else [])
+        order = keys + [v for v, _, _ in out_spec] + ([counts] if counts else [])
         return out.select(order)
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
 
-    val_cols = list(sums.values()) + ([counts] if counts else [])
+    val_cols = [v for v, _, _ in out_spec] + ([counts] if counts else [])
+    # each output column's merge algebra: counts merge by SUM
+    final_fn = {v: fn for v, fn, _ in out_spec}
+    if counts:
+        final_fn[counts] = "sum"
 
     def combine_final(t: pa.Table) -> pa.Table:
         if bounded and len(t) > 1_000_000:
@@ -130,8 +147,10 @@ def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | Non
                 "data-sized; pass bounded=False for a distributed "
                 "final merge", len(t),
             )
-        out = t.group_by(keys).aggregate([(c, "sum") for c in val_cols])
-        rename = {f"{c}_sum": c for c in val_cols}
+        out = t.group_by(keys).aggregate(
+            [(c, final_fn[c]) for c in val_cols]
+        )
+        rename = {f"{c}_{final_fn[c]}": c for c in val_cols}
         out = out.rename_columns([rename.get(c, c) for c in out.column_names])
         return out.select(keys + val_cols)
 

@@ -312,6 +312,87 @@ def events_asof_signup(sf_dir: str):
     )
 
 
+def supplier_price_stats(sf_dir: str):
+    """Multi-algebra aggregate (A2 depth): per supplier — row count,
+    total quantity, and min/max extended price — in ONE pre-aggregated
+    pass (ops.partial_sum_agg with per-column merge algebra: sum of
+    sums, min of mins, max of maxs).  Data-sized key domain ->
+    bounded=False (range-partition final)."""
+    ds = ops.read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        qty = pc.floor(pc.add(t.column("l_quantity"), 0.5)).cast(pa.int64())
+        p2 = pc.floor(
+            pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)
+        ).cast(pa.int64())
+        return pa.table(
+            {"l_suppkey": t.column("l_suppkey"), "qty": qty, "price_e2": p2}
+        )
+
+    return ops.partial_sum_agg(
+        ds, pre=pre, keys=["l_suppkey"],
+        sums={"qty": "sum_qty"}, counts="n_items",
+        mins={"price_e2": "min_price_e2"}, maxs={"price_e2": "max_price_e2"},
+        bounded=False,
+    ).sort("l_suppkey")
+
+
+INTERVAL_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def events_interval_join(sf_dir: str, window_us: int = INTERVAL_JOIN_WINDOW_US):
+    """Interval (range) join — J4b, the all-matches sibling of the
+    as-of join: every (purchase, error) pair of the SAME user where the
+    error lands within one hour strictly after the purchase.  Same
+    skeleton as events_asof_signup: ONE range-partition shuffle on
+    user_id co-locates each user's history; inside a block the error
+    rows sort by (user, ts) once and each purchase finds its window by
+    two binary searches per user segment — never a block-level cross
+    join, so the cost is O(rows log rows + matches)."""
+    ds = ops.read_table(sf_dir, "events",
+                        columns=["event_id", "ts", "user_id", "event_type"])
+    n_parts = ops.cluster_parts()
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        us = (g["ts"].astype("int64")).to_numpy()
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        p_mask = et == "purchase"
+        e_mask = et == "error"
+        out_p, out_e, out_u, out_gap = [], [], [], []
+        for u in np.unique(uid[p_mask]):
+            pe = np.flatnonzero(p_mask & (uid == u))
+            ee = np.flatnonzero(e_mask & (uid == u))
+            if len(ee) == 0:
+                continue
+            ets = us[ee]
+            order = np.argsort(ets, kind="stable")
+            ets, ee_sorted = ets[order], ee[order]
+            lo = np.searchsorted(ets, us[pe], side="right")
+            hi = np.searchsorted(ets, us[pe] + window_us, side="right")
+            for k, pi in enumerate(pe):
+                for x in range(lo[k], hi[k]):
+                    out_p.append(int(eid[pi]))
+                    out_e.append(int(eid[ee_sorted[x]]))
+                    out_u.append(int(u))
+                    out_gap.append(int(us[ee_sorted[x]] - us[pi]))
+        return pd.DataFrame(
+            {"purchase_id": out_p, "error_id": out_e,
+             "user_id": out_u, "gap_us": out_gap}
+        ).astype("int64")
+
+    return (
+        ds.repartition(n_parts)
+        .sort("user_id")
+        .map_batches(match, batch_size=None, batch_format="pandas")
+        .sort(["purchase_id", "error_id"])
+    )
+
+
 # -- windowed aggregate over the events stream (§2.9 pattern) ----------------
 
 def events_tumbling_window(sf_dir: str):
@@ -488,6 +569,28 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         FROM events
     """,
+    "supplier_price_stats": """
+        SELECT l_suppkey,
+               CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_qty,
+               MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS min_price_e2,
+               MAX(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS max_price_e2,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    "events_interval_join": f"""
+        SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+               p.user_id,
+               CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+        FROM events p
+        JOIN events e
+          ON p.user_id = e.user_id
+         AND p.event_type = 'purchase' AND e.event_type = 'error'
+         AND e.ts > p.ts
+         AND epoch_us(e.ts) <= epoch_us(p.ts) + {INTERVAL_JOIN_WINDOW_US}
+    """,
     "events_asof_signup": """
         SELECT e.event_id, e.ts, e.user_id, s.signup_ts
         FROM events e ASOF LEFT JOIN
@@ -570,6 +673,8 @@ QUERIES = {
     "nations_except_asia_region": nations_except_asia_region,
     "events_json_extract": events_json_extract,
     "events_asof_signup": events_asof_signup,
+    "events_interval_join": events_interval_join,
+    "supplier_price_stats": supplier_price_stats,
     "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,
     "orders_by_month": orders_by_month,
