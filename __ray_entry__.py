@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_worker_importable()
     from spider_ray.pipelines.ann import ANN_QUERIES
     from spider_ray.pipelines.dedup import DEDUP_QUERIES
+    from spider_ray.pipelines.freq import FREQ_QUERIES
     from spider_ray.pipelines.graph import GRAPH_QUERIES
     from spider_ray.pipelines.multimodal import MULTIMODAL_QUERIES
     from spider_ray.pipelines.relational import QUERIES
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(TEXT_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(GRAPH_QUERIES)
+    out.update(FREQ_QUERIES)
     out.update(ANN_QUERIES)
     out.update(MULTIMODAL_QUERIES)
     return out
@@ -205,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
     invariance and property tests)."""
     from spider_ray.pipelines.ann import ANN_ORACLE_SQL
     from spider_ray.pipelines.dedup import DEDUP_ORACLE_SQL
+    from spider_ray.pipelines.freq import FREQ_ORACLE_SQL
     from spider_ray.pipelines.graph import GRAPH_ORACLE_SQL
     from spider_ray.pipelines.multimodal import MULTIMODAL_ORACLE_SQL
     from spider_ray.pipelines.relational import ORACLE_SQL
@@ -232,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(TEXT_ORACLE_SQL)
     out.update(DEDUP_ORACLE_SQL)
     out.update(GRAPH_ORACLE_SQL)
+    out.update(FREQ_ORACLE_SQL)
     out.update(ANN_ORACLE_SQL)
     out.update(MULTIMODAL_ORACLE_SQL)
     return out
