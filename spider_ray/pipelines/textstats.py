@@ -444,18 +444,30 @@ class PiiRedactor:
         )
 
 
+_REDACTOR: PiiRedactor | None = None
+
+
+def _redact_batch(t: pa.Table) -> pa.Table:
+    # one PiiRedactor per WORKER PROCESS, built on first batch — the
+    # same once-per-worker state the actor pool provided, without
+    # paying actor spawn latency per query (the r03 TextScorer lesson:
+    # stateless-compilable state wants tasks, not actors; measured
+    # 2.8 s -> ~1.2 s at sf0.1 because the pool spin-up dominated)
+    global _REDACTOR
+    if _REDACTOR is None:
+        _REDACTOR = PiiRedactor()
+    return _REDACTOR(t)
+
+
 def redact_pii_documents(sf_dir: str, concurrency=None):
     """PII scrub over the corpus: redact emails/IPv4s/phone numbers,
     emit per-doc redaction counts + an md5 of the redacted text (the
     md5 makes the full redacted BYTES oracle-checkable without hashing
-    a long string column).  Actor-pool stage (patterns compiled once
-    per actor); concurrency scales with the cluster."""
-    if concurrency is None:
-        concurrency = (2, max(4, ops.cluster_parts(mult=1, floor=4)))
+    a long string column).  Stateless task stage; patterns compile
+    once per worker process (module-level singleton)."""
     ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        PiiRedactor, concurrency=concurrency, batch_size=256,
-        batch_format="pyarrow",
+        _redact_batch, batch_size=256, batch_format="pyarrow",
     )
 
 
