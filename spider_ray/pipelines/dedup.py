@@ -1154,6 +1154,117 @@ def dup_ngram_fraction_documents(sf_dir: str, n: int = DUP_NGRAM_N):
     return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def scrub_dup_spans_documents(sf_dir: str, n: int = DUP_NGRAM_N):
+    """Exact duplicated-SPAN scrubbing — the token-level sibling of
+    dup_ngram_fraction and the n-gram-granularity version of exact
+    substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): every token covered by a word
+    n-gram that also occurs in ANOTHER document is removed, and the
+    cleaned text's md5 proves the scrub byte-for-byte.  Per doc:
+    total tokens, tokens inside duplicated spans (interval UNION of
+    all dup n-gram windows, not a per-gram sum), md5 of the kept
+    tokens joined by single spaces.
+
+    Scale shape — three bounded shuffles, text never enters any of
+    them: (1) gram-keyed document-frequency aggregate over per-doc
+    first-occurrence flags; (2) gram-keyed co-partition SEMI join
+    flagging duplicate occurrences (ships (doc, pos) + the gram key);
+    (3) doc-keyed merge of covered-position sets (packed as binary
+    blobs) LEFT-joined back to the corpus.  Gram strings (not hashes)
+    are the keys so the DuckDB twin is exact; a 100 TB deployment
+    would swap in a 128-bit fingerprint at the cost of that oracle."""
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        out_d: list[int] = []
+        out_p: list[int] = []
+        out_g: list[str] = []
+        out_f: list[int] = []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            ws = [w.lower() for w in _WORD_RE.findall(txt)]
+            if len(ws) < n:
+                continue
+            seen: set[str] = set()
+            for i in range(len(ws) - n + 1):
+                g = " ".join(ws[i:i + n])
+                out_d.append(d)
+                out_p.append(i)
+                out_g.append(g)
+                out_f.append(0 if g in seen else 1)
+                seen.add(g)
+        return pa.table(
+            {"doc_id": pa.array(out_d, pa.int64()),
+             "pos": pa.array(out_p, pa.int32()),
+             "gram": pa.array(out_g, pa.string()),
+             "is_first": pa.array(out_f, pa.int64())}
+        )
+
+    occ = ds.map_batches(occ_rows, batch_format="pyarrow").materialize()
+
+    # document frequency: is_first contributes exactly 1 per (doc, gram)
+    df = ops.partial_sum_agg(
+        occ, keys=["gram"], sums={"is_first": "n_docs"}, counts=None,
+        bounded=False,
+    )
+    dupg = df.filter(expr="n_docs >= 2")
+    dup_occ = ops.partitioned_hash_join(
+        occ.select_columns(["doc_id", "pos", "gram"]), dupg,
+        on="gram", how="semi",
+    )
+
+    def pack_cover(t: pa.Table) -> pa.Table:
+        # per doc: union of [pos, pos+n) windows, packed as int32 bytes
+        g = t.to_pandas()
+        out_d, out_b = [], []
+        for did, grp in g.groupby("doc_id", sort=True):
+            ps = grp["pos"].to_numpy(np.int64)
+            cov = np.unique(
+                (ps[:, None] + np.arange(n)[None, :]).ravel()
+            ).astype(np.int32)
+            out_d.append(int(did))
+            out_b.append(cov.tobytes())
+        return pa.table(
+            {"doc_id": pa.array(out_d, pa.int64()),
+             "cov": pa.array(out_b, pa.binary())}
+        )
+
+    covered = (
+        dup_occ.select_columns(["doc_id", "pos"])
+        .map_batches(lambda t: t, batch_size=32768, batch_format="pyarrow")
+        .sort("doc_id")
+        .map_batches(pack_cover, batch_size=None, batch_format="pyarrow")
+    )
+
+    joined = ops.partitioned_hash_join(ds, covered, on="doc_id", how="left")
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids, ntok, ndup, md5s = [], [], [], []
+        for did, txt, blob in zip(t.column("doc_id").to_pylist(),
+                                  t.column("text").to_pylist(),
+                                  t.column("cov").to_pylist()):
+            ws = [w.lower() for w in _WORD_RE.findall(txt)]
+            if blob is None:
+                kept = ws
+                n_cov = 0
+            else:
+                cov = set(np.frombuffer(blob, np.int32).tolist())
+                kept = [w for i, w in enumerate(ws) if i not in cov]
+                n_cov = len(cov)
+            ids.append(did)
+            ntok.append(len(ws))
+            ndup.append(n_cov)
+            md5s.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(ntok, pa.int64()),
+             "n_dup_tokens": pa.array(ndup, pa.int64()),
+             "clean_md5": pa.array(md5s, pa.string())}
+        )
+
+    return joined.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+
+
 DEDUP_ORACLE_SQL = {
     "exact_dedup_documents": """
         SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
@@ -1355,8 +1466,58 @@ DEDUP_ORACLE_SQL["dup_ngram_fraction"] = rf"""
     GROUP BY g.doc_id
 """
 
+DEDUP_ORACLE_SQL["scrub_dup_spans"] = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '\w+'),
+                            w -> lower(w)) AS ws
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest(range(1, len(ws) - {DUP_NGRAM_N} + 2)) AS i,
+             unnest(list_transform(
+                 range(1, len(ws) - {DUP_NGRAM_N} + 2),
+                 i -> array_to_string(ws[i:i + {DUP_NGRAM_N} - 1], ' ')
+             )) AS gram
+      FROM toks WHERE len(ws) >= {DUP_NGRAM_N}
+    ),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+           FROM occ GROUP BY gram),
+    dup AS (SELECT occ.doc_id, occ.i
+            FROM occ JOIN df USING (gram) WHERE df.n_docs >= 2),
+    cov AS (SELECT DISTINCT doc_id,
+                   unnest(range(i, i + {DUP_NGRAM_N})) AS p
+            FROM dup),
+    pos AS (
+      SELECT doc_id, unnest(ws) AS w,
+             unnest(range(1, len(ws) + 1)) AS p
+      FROM toks
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.w
+      FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+      WHERE cov.p IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             md5(coalesce(string_agg(w, ' ' ORDER BY p), '')) AS clean_md5
+      FROM kept GROUP BY doc_id
+    ),
+    ncov AS (SELECT doc_id, COUNT(*) AS n_dup FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(ncov.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+           coalesce(agg.clean_md5, md5('')) AS clean_md5
+    FROM toks t
+    LEFT JOIN ncov USING (doc_id)
+    LEFT JOIN agg ON t.doc_id = agg.doc_id
+    ORDER BY t.doc_id
+"""
+
 DEDUP_QUERIES = {
     "exact_dedup_documents": exact_dedup_documents,
+    "scrub_dup_spans": scrub_dup_spans_documents,
     "dedup_clusters_minhash": dedup_clusters_minhash,
     "dedup_incremental": dedup_incremental_documents,
     "dup_ngram_fraction": dup_ngram_fraction_documents,

@@ -183,3 +183,41 @@ def test_pagerank_rank_mass_reasonable(ray_session, tmp_path):
     got = {r["node"]: r["pr"] for r in pagerank_order_part(sf).take_all()}
     assert set(got.values()) == {1_000_000}
     assert len(got) == 4
+
+
+# -- scrub_dup_spans ----------------------------------------------------------
+
+def test_scrub_dup_spans_interval_union(ray_session, tmp_path):
+    """Covered tokens are the UNION of dup 5-gram windows (overlapping
+    windows don't double-count), short docs and unique docs pass
+    through untouched, fully-duplicated docs scrub to md5('')."""
+    import hashlib
+
+    from spider_ray.pipelines.dedup import scrub_dup_spans_documents
+
+    sf = _write(
+        tmp_path, "documents",
+        pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([
+                "a b c d e x y z",            # shares "a b c d e" with doc 1
+                "q a b c d e",                # covered at positions 1..5
+                "unique words only here now",  # 1 gram, seen once -> clean
+                "too short",                   # < 5 tokens -> no grams
+                "a b c d e f",                 # identical to doc 5: both
+                "a b c d e f",                 # grams dup -> fully covered
+            ], pa.string()),
+        }),
+    )
+    got = {r["doc_id"]: r for r in scrub_dup_spans_documents(sf).take_all()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (got[0]["n_tokens"], got[0]["n_dup_tokens"]) == (8, 5)
+    assert got[0]["clean_md5"] == md5("x y z")
+    assert (got[1]["n_tokens"], got[1]["n_dup_tokens"]) == (6, 5)
+    assert got[1]["clean_md5"] == md5("q")
+    assert (got[2]["n_dup_tokens"], got[2]["clean_md5"]) == (
+        0, md5("unique words only here now"))
+    assert (got[3]["n_tokens"], got[3]["n_dup_tokens"]) == (2, 0)
+    for d in (4, 5):
+        assert (got[d]["n_tokens"], got[d]["n_dup_tokens"]) == (6, 6)
+        assert got[d]["clean_md5"] == md5("")
