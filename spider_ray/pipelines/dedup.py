@@ -1200,60 +1200,73 @@ def scrub_dup_spans_documents(sf_dir: str, n: int = DUP_NGRAM_N):
              "is_first": pa.array(out_f, pa.int64())}
         )
 
-    occ = ds.map_batches(occ_rows, batch_format="pyarrow").materialize()
+    occ = ds.map_batches(occ_rows, batch_format="pyarrow")
 
-    # document frequency: is_first contributes exactly 1 per (doc, gram)
-    df = ops.partial_sum_agg(
-        occ, keys=["gram"], sums={"is_first": "n_docs"}, counts=None,
-        bounded=False,
-    )
-    dupg = df.filter(expr="n_docs >= 2")
-    dup_occ = ops.partitioned_hash_join(
-        occ.select_columns(["doc_id", "pos", "gram"]), dupg,
-        on="gram", how="semi",
-    )
-
-    def pack_cover(t: pa.Table) -> pa.Table:
-        # per doc: union of [pos, pos+n) windows, packed as int32 bytes
-        g = t.to_pandas()
-        out_d, out_b = [], []
-        for did, grp in g.groupby("doc_id", sort=True):
-            ps = grp["pos"].to_numpy(np.int64)
-            cov = np.unique(
-                (ps[:, None] + np.arange(n)[None, :]).ravel()
-            ).astype(np.int32)
-            out_d.append(int(did))
-            out_b.append(cov.tobytes())
+    # shuffle 1 (gram): the range partition co-locates EVERY row of a
+    # gram, so document frequency is computable inside the block — sum
+    # of is_first (exactly 1 per (doc, gram)) — and the dup-occurrence
+    # filter happens right there.  The first cut ran a separate
+    # partial-agg (its own sort) plus a semi join: two gram shuffles
+    # where one carries both answers (7.3 s -> ~3 s at sf0.1).
+    def dup_positions(t: pa.Table) -> pa.Table:
+        df = t.group_by("gram").aggregate([("is_first", "sum")])
+        dup = df.filter(pc.greater_equal(df.column("is_first_sum"), 2))
+        mask = pc.is_in(t.column("gram"), value_set=dup.column("gram"))
+        kept = t.filter(mask)
         return pa.table(
-            {"doc_id": pa.array(out_d, pa.int64()),
-             "cov": pa.array(out_b, pa.binary())}
+            {"doc_id": kept.column("doc_id"), "pos": kept.column("pos")}
         )
 
-    covered = (
-        dup_occ.select_columns(["doc_id", "pos"])
-        .map_batches(lambda t: t, batch_size=32768, batch_format="pyarrow")
-        .sort("doc_id")
-        .map_batches(pack_cover, batch_size=None, batch_format="pyarrow")
+    spans = (
+        occ.map_batches(lambda t: t, batch_size=32768,
+                        batch_format="pyarrow")
+        .sort("gram")
+        .map_batches(dup_positions, batch_size=None, batch_format="pyarrow")
     )
 
-    joined = ops.partitioned_hash_join(ds, covered, on="doc_id", how="left")
+    # shuffle 2 (doc_id): tagged union of corpus rows and span rows —
+    # ONE co-partition delivers each doc's text next to all its dup
+    # positions; the block kernel unions the [pos, pos+n) windows and
+    # scrubs in place (no intermediate cover table, no left join pass)
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "text": t.column("text"),
+             "pos": pa.nulls(len(t), pa.int32())}
+        )
+
+    def tag_spans(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "text": pa.nulls(len(t), pa.string()),
+             "pos": t.column("pos")}
+        )
+
+    tagged = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        spans.map_batches(tag_spans, batch_format="pyarrow")
+    )
 
     def scrub(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        arange_n = np.arange(n)
         ids, ntok, ndup, md5s = [], [], [], []
-        for did, txt, blob in zip(t.column("doc_id").to_pylist(),
-                                  t.column("text").to_pylist(),
-                                  t.column("cov").to_pylist()):
-            ws = [w.lower() for w in _WORD_RE.findall(txt)]
-            if blob is None:
-                kept = ws
-                n_cov = 0
-            else:
-                cov = set(np.frombuffer(blob, np.int32).tolist())
+        for did, grp in g.groupby("doc_id", sort=True):
+            txt_rows = grp["text"].dropna()
+            if txt_rows.empty:
+                continue  # unreachable: every doc_id has a corpus row
+            ws = [w.lower() for w in _WORD_RE.findall(txt_rows.iloc[0])]
+            ps = grp["pos"].dropna().to_numpy(np.int64)
+            if len(ps):
+                cov = set(np.unique(
+                    (ps[:, None] + arange_n[None, :]).ravel()
+                ).tolist())
                 kept = [w for i, w in enumerate(ws) if i not in cov]
-                n_cov = len(cov)
-            ids.append(did)
+            else:
+                cov = set()
+                kept = ws
+            ids.append(int(did))
             ntok.append(len(ws))
-            ndup.append(n_cov)
+            ndup.append(len(cov))
             md5s.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
         return pa.table(
             {"doc_id": pa.array(ids, pa.int64()),
@@ -1262,7 +1275,12 @@ def scrub_dup_spans_documents(sf_dir: str, n: int = DUP_NGRAM_N):
              "clean_md5": pa.array(md5s, pa.string())}
         )
 
-    return joined.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+    return (
+        tagged.map_batches(lambda t: t, batch_size=32768,
+                           batch_format="pyarrow")
+        .sort("doc_id")
+        .map_batches(scrub, batch_size=None, batch_format="pyarrow")
+    )
 
 
 DEDUP_ORACLE_SQL = {
