@@ -75,6 +75,13 @@ QUERY_NAMES = [
     "decontaminate_documents",
     "orders_from_active_users_bloom",
     "chunk_documents",
+    # round 4 additions
+    "supplier_price_stats",
+    "events_interval_join",
+    "heavy_hitters_terms",
+    "bigram_counts_documents",
+    "text_index_search",
+    "scrub_dup_spans",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

@@ -91,3 +91,29 @@ def test_index_build_idempotent(ray_session, tmp_path):
     mtime = os.path.getmtime(os.path.join(p1, "_META"))
     p2 = freq.build_text_index(SF, d)
     assert p1 == p2 and os.path.getmtime(os.path.join(p2, "_META")) == mtime
+
+
+@pytest.mark.parametrize("chunk", [37, 97, 5000])
+def test_mg_plus_exact_pass_is_chunking_invariant(chunk):
+    """The MG candidate set DOES depend on batching — the exact second
+    pass must erase that: top-k via (fold candidates -> exact counts)
+    equals the true top-k for every chunking, whenever the kth count
+    clears the N/(cap+1) bound (the pipeline's assert)."""
+    rng = np.random.default_rng(3)
+    items = [f"t{int(v)}" for v in rng.zipf(1.4, 8000) if v < 300]
+    n, cap, k = len(items), 256, 10
+    true: dict[str, int] = {}
+    for it in items:
+        true[it] = true.get(it, 0) + 1
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert want[-1][1] > n // (cap + 1)  # bound holds on this data
+    chunks = []
+    for i in range(0, n, chunk):
+        ch: dict[str, int] = {}
+        for it in items[i:i + chunk]:
+            ch[it] = ch.get(it, 0) + 1
+        chunks.append(ch)
+    cand = set(_mg_fold(chunks, cap))
+    exact = {t: c for t, c in true.items() if t in cand}
+    got = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
