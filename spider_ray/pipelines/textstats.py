@@ -724,6 +724,96 @@ def split_train_val_test_documents(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+SEQ_PACK_LEN = 256
+
+
+def pack_training_sequences(sf_dir: str, seq_len: int = SEQ_PACK_LEN,
+                            scan_block_rows: int = 32768):
+    """Concat-and-split sequence packing — the standard LM-pretraining
+    prep: all documents' tokens are (virtually) concatenated in doc_id
+    order and cut every ``seq_len`` tokens; each doc reports its global
+    start offset and the sequence its first token lands in.
+
+    Scale shape: a DISTRIBUTED PREFIX SUM (the classic two-phase scan).
+    Token counts range-partition on doc_id (one shuffle, equal keys are
+    unique so blocks are clean splits of the order); phase 1 reads one
+    (first_doc_id, block_total) row per block — bounded by block count,
+    not data — and the driver turns those into per-block exclusive
+    offsets; phase 2 re-maps the SAME materialized blocks adding local
+    cumsum + block offset.  Nothing data-sized ever reaches the driver
+    and the text column never enters the shuffle."""
+    import pyarrow.compute as pc
+
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ws_re = re.compile(r"\s+")
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = [len([w for w in ws_re.split(x) if w])
+             for x in t.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    ordered = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        # scan_block_rows controls the scan's block grain (tests force
+        # it small to exercise the multi-block offset stitching that a
+        # fixture-sized corpus would otherwise fit into one block)
+        .map_batches(lambda t: t, batch_size=scan_block_rows,
+                     batch_format="pyarrow")
+        .sort("doc_id")
+        .materialize()  # pins block boundaries for the two scan phases
+    )
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"first_doc": pa.array([], pa.int64()),
+                             "tot": pa.array([], pa.int64())})
+        return pa.table(
+            {"first_doc": pa.array([t.column("doc_id")[0].as_py()],
+                                   pa.int64()),
+             "tot": pa.array([int(pc.sum(t.column("n_tokens")).as_py())],
+                             pa.int64())}
+        )
+
+    sums = sorted(
+        (r["first_doc"], r["tot"])
+        for r in ordered.map_batches(
+            block_sum, batch_size=None, batch_format="pyarrow"
+        ).take_all()  # bounded: ONE row per block
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for first_doc, tot in sums:
+        offsets[first_doc] = acc
+        acc += tot
+    import ray as _ray
+
+    off_handle = _ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "start_off": pa.array([], pa.int64()),
+                 "seq_id": pa.array([], pa.int64())}
+            )
+        off = _ray.get(off_handle)[t.column("doc_id")[0].as_py()]
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        start = off + np.cumsum(n) - n
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_tokens": t.column("n_tokens"),
+             "start_off": pa.array(start.astype(np.int64)),
+             "seq_id": pa.array((start // seq_len).astype(np.int64))}
+        )
+
+    return ordered.map_batches(assign, batch_size=None,
+                               batch_format="pyarrow")
+
+
 SHUFFLE_SHARDS = 16
 
 
@@ -768,6 +858,24 @@ def shard_shuffle_documents(sf_dir: str, n_shards: int = SHUFFLE_SHARDS):
 
 
 TEXT_ORACLE_SQL = {
+    "pack_training_sequences": rf"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tokens AS BIGINT) AS start_off,
+               CAST(floor((SUM(n_tokens) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tokens) / {SEQ_PACK_LEN}) AS BIGINT) AS seq_id
+        FROM c
+    """,
     "split_train_val_test": """
         SELECT doc_id,
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
@@ -1041,6 +1149,7 @@ TEXT_ORACLE_SQL = {
 
 TEXT_QUERIES = {
     "split_train_val_test": split_train_val_test_documents,
+    "pack_training_sequences": pack_training_sequences,
     "shard_shuffle_documents": shard_shuffle_documents,
     "stratified_sample_documents": stratified_sample_documents,
     "tfidf_top_terms": tfidf_top_terms,

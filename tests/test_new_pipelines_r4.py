@@ -221,3 +221,34 @@ def test_scrub_dup_spans_interval_union(ray_session, tmp_path):
     for d in (4, 5):
         assert (got[d]["n_tokens"], got[d]["n_dup_tokens"]) == (6, 6)
         assert got[d]["clean_md5"] == md5("")
+
+
+# -- pack_training_sequences --------------------------------------------------
+
+def test_pack_sequences_multiblock_scan_matches_single_block(
+        ray_session, tmp_path):
+    """The distributed prefix sum must stitch per-block offsets exactly:
+    forcing tiny scan blocks (many blocks) yields byte-identical
+    packing to the single-block run, and offsets are the true global
+    cumulative sums."""
+    from spider_ray.pipelines.textstats import pack_training_sequences
+
+    rng = np.random.default_rng(5)
+    n_docs = 400
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n_docs)]
+    sf = _write(
+        tmp_path, "documents",
+        pa.table({
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+    )
+    one = (pack_training_sequences(sf, seq_len=64)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    many = (pack_training_sequences(sf, seq_len=64, scan_block_rows=37)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert many.equals(one)
+    n = one["n_tokens"].to_numpy()
+    want_start = np.cumsum(n) - n
+    assert (one["start_off"].to_numpy() == want_start).all()
+    assert (one["seq_id"].to_numpy() == want_start // 64).all()
