@@ -414,8 +414,55 @@ def rank_orders_per_customer(sf_dir: str):
     )
 
 
+def ntile_orders_per_customer(sf_dir: str, n_tiles: int = 4):
+    """NTILE + percent_rank windows: per customer, each order's
+    quartile bucket and its percent_rank by (totalprice ASC, orderkey).
+    Same one-shuffle skeleton as rank_orders_per_customer; NTILE uses
+    the SQL rule (first ``n mod tiles`` buckets get the extra row) and
+    percent_rank is the identical (rank-1)/(n-1) IEEE division on both
+    sides (0.0 for single-row groups), so the doubles hash exactly."""
+    ds = ops.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    n_parts = ops.cluster_parts()
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        p2 = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        g = g.assign(price_e2=p2)
+        g = g.sort_values(
+            ["o_custkey", "price_e2", "o_orderkey"], kind="mergesort"
+        )
+        grp = g.groupby("o_custkey", sort=False)
+        rn = grp.cumcount().to_numpy(np.int64)  # 0-based position
+        n = grp["o_orderkey"].transform("size").to_numpy(np.int64)
+        base, extra = n // n_tiles, n % n_tiles
+        # SQL NTILE: positions < extra*(base+1) land in the fat buckets
+        fat = rn < extra * (base + 1)
+        tile_no = np.where(
+            fat,
+            rn // np.maximum(base + 1, 1),
+            extra + (rn - extra * (base + 1)) // np.maximum(base, 1),
+        ) + 1
+        pr = np.where(n > 1, rn / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+             "o_custkey": g["o_custkey"].to_numpy(np.int64),
+             "tile": tile_no.astype(np.int64),
+             "pct_rank": pr.astype(np.float64)}
+        )
+
+    return (
+        ds.repartition(n_parts)
+        .sort("o_custkey")
+        .map_batches(tile, batch_size=None, batch_format="pandas")
+    )
+
+
 WINDOW_QUERIES = {
     "sessionize_events": sessionize_events,
+    "ntile_orders_per_customer": ntile_orders_per_customer,
     "rolling_sum_events": rolling_sum_events,
     "rank_orders_per_customer": rank_orders_per_customer,
     "event_gaps_lag": event_gaps_lag,
@@ -427,6 +474,16 @@ WINDOW_QUERIES = {
 }
 
 WINDOW_ORACLE_SQL = {
+    "ntile_orders_per_customer": """
+        SELECT o_orderkey, o_custkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS tile,
+               percent_rank() OVER w AS pct_rank
+        FROM orders
+        WINDOW w AS (
+          PARTITION BY o_custkey
+          ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey
+        )
+    """,
     "rolling_sum_events": """
         SELECT event_id, user_id,
                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
