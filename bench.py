@@ -82,6 +82,9 @@ QUERY_NAMES = [
     "bigram_counts_documents",
     "text_index_search",
     "scrub_dup_spans",
+    "corr_qty_price_by_flag",
+    "pack_training_sequences",
+    "ntile_orders_per_customer",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

@@ -125,14 +125,21 @@ def heavy_hitters_terms(sf_dir: str, k: int = HH_K,
         )
 
     ds = ops.read_table(sf_dir, "documents", columns=["text"])
-    partials = ds.map_batches(mg_batch, batch_format="pyarrow")
-    # two merge levels: fan-in to a handful of blocks, then one block.
-    # Each level's input is <= capacity rows per upstream block; the
-    # mergeable-summaries bound is tree-shape-independent.
+    merged_ds = ds.map_batches(mg_batch, batch_format="pyarrow")
+    # bounded-fan-in merge tree: each level folds ~64 summaries into
+    # one (batch_size = 64 x capacity rows), so NO level ever holds
+    # more than 64 summaries in memory — a single repartition(small)
+    # would instead funnel every partial row of a 10^9-doc corpus into
+    # a handful of blocks.  Three levels cover 64^3 ~ 262k source
+    # batches; the mergeable-summaries bound is tree-shape-independent,
+    # and the exact second pass makes the OUTPUT independent of how
+    # batching shaped the candidate set (tests force this).
+    for _ in range(3):
+        merged_ds = merged_ds.map_batches(
+            mg_merge, batch_size=capacity * 64, batch_format="pyarrow"
+        )
     merged = (
-        partials.repartition(8)
-        .map_batches(mg_merge, batch_size=None, batch_format="pyarrow")
-        .repartition(1)
+        merged_ds.repartition(1)
         .map_batches(mg_merge, batch_size=None, batch_format="pyarrow")
         .take_all()  # <= capacity rows by construction
     )

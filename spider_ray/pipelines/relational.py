@@ -340,6 +340,53 @@ def supplier_price_stats(sf_dir: str):
     ).sort("l_suppkey")
 
 
+def corr_qty_price_by_flag(sf_dir: str):
+    """Multi-moment aggregate: per return flag, the five exact integer
+    moments of (quantity, whole-dollar price) — sx, sy, sxy, sx2, sy2
+    plus n — in ONE pre-aggregated pass, and the Pearson correlation in
+    e6 fixed point computed from them with the identical IEEE op order
+    as the SQL twin (every input to the float expression is an exact
+    int64, so both engines start from the same bits; sqrt is correctly
+    rounded by IEEE 754).  Whole dollars, not cents, keep sy2 inside
+    int64 at any realistic scale (price^2 in cents overflows by ~10x
+    at sf0.1 row counts)."""
+    ds = ops.read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        x = pc.floor(pc.add(t.column("l_quantity"), 0.5)).cast(pa.int64())
+        y = pc.floor(t.column("l_extendedprice")).cast(pa.int64())
+        xn = x.to_numpy(zero_copy_only=False)
+        yn = y.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_returnflag": t.column("l_returnflag"),
+             "x": x, "y": y,
+             "xy": pa.array(xn * yn), "x2": pa.array(xn * xn),
+             "y2": pa.array(yn * yn)}
+        )
+
+    moments = ops.partial_sum_agg(
+        ds, pre=pre, keys=["l_returnflag"],
+        sums={"x": "sx", "y": "sy", "xy": "sxy", "x2": "sx2", "y2": "sy2"},
+        counts="n",
+    )
+
+    def corr(t: pa.Table) -> pa.Table:
+        f = {c: t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("sx", "sy", "sxy", "sx2", "sy2", "n")}
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = np.sqrt(
+            (f["n"] * f["sx2"] - f["sx"] * f["sx"])
+            * (f["n"] * f["sy2"] - f["sy"] * f["sy"])
+        )
+        e6 = np.floor(1_000_000.0 * num / den).astype(np.int64)
+        return t.append_column("corr_e6", pa.array(e6))
+
+    return moments.map_batches(corr, batch_format="pyarrow")
+
+
 INTERVAL_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -580,6 +627,36 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS n_items
         FROM lineitem GROUP BY l_suppkey
     """,
+    "corr_qty_price_by_flag": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                      AS BIGINT) AS sx,
+                 CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT))
+                      AS BIGINT) AS sy,
+                 CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                          * CAST(floor(l_extendedprice) AS BIGINT))
+                      AS BIGINT) AS sxy,
+                 CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                          * CAST(floor(l_quantity + 0.5) AS BIGINT))
+                      AS BIGINT) AS sx2,
+                 CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)
+                          * CAST(floor(l_extendedprice) AS BIGINT))
+                      AS BIGINT) AS sy2,
+                 COUNT(*) AS n
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, sx, sy, sxy, sx2, sy2, n,
+               CAST(floor(1000000.0 *
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               ) AS BIGINT) AS corr_e6
+        FROM m
+    """,
     "events_interval_join": f"""
         SELECT p.event_id AS purchase_id, e.event_id AS error_id,
                p.user_id,
@@ -675,6 +752,7 @@ QUERIES = {
     "events_asof_signup": events_asof_signup,
     "events_interval_join": events_interval_join,
     "supplier_price_stats": supplier_price_stats,
+    "corr_qty_price_by_flag": corr_qty_price_by_flag,
     "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,
     "orders_by_month": orders_by_month,
