@@ -85,6 +85,9 @@ QUERY_NAMES = [
     "corr_qty_price_by_flag",
     "pack_training_sequences",
     "ntile_orders_per_customer",
+    "dedup_keep_best_documents",
+    "unigram_lm_score_documents",
+    "centroid_by_label_embeddings",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

@@ -336,9 +336,73 @@ _BRUTEFORCE_SQL = """
         SELECT query_id, vec_id, cosine_e4 FROM scored WHERE rn <= 5
 """
 
+def centroid_by_label_embeddings(sf_dir: str):
+    """Per-label centroid accumulation — the k-means / IVF-training
+    building block as a standalone exact operator.  Emits, per (label,
+    dimension), the exact e6 fixed-point coordinate sum and member
+    count; centroid = sum_e6 / n.  Elements are floored to e6 AFTER a
+    float32 -> float64 widening (exact) so the sum is pure int64
+    arithmetic and the DuckDB twin reproduces it bit-for-bit — float
+    summation order, which no two engines share, never enters.
+
+    Scale shape: each batch folds its rows into <= |labels| x dim
+    partial rows (vectorized matmul-free numpy: one bincount-style sum
+    per label present in the batch), then ONE bounded tree-combine over
+    the (label, pos) key domain — labels x dim is a model-sized
+    constant (k x d), never data-sized, exactly like the IVF trainer's
+    accumulator (ann.py:115)."""
+    ds = ops.read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(1, len(t))
+        q = np.floor(flat.astype(np.float64) * 1e6).astype(np.int64)
+        q = q.reshape(-1, dim)
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        uniq = np.unique(labels)
+        out_lab, out_pos, out_sum, out_n = [], [], [], []
+        for lab in uniq:
+            mask = labels == lab
+            out_lab.append(np.full(dim, int(lab), np.int64))
+            out_pos.append(np.arange(1, dim + 1, dtype=np.int64))
+            out_sum.append(q[mask].sum(axis=0))
+            out_n.append(np.full(dim, int(mask.sum()), np.int64))
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(out_lab), pa.int64()),
+                "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+                "sum_e6": pa.array(np.concatenate(out_sum), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    return ops.partial_sum_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["label", "pos"], sums={"sum_e6": "sum_e6", "n": "n"},
+        counts=None, bounded=True,  # |labels| x dim rows, model-sized
+    )
+
+
+_CENTROID_SQL = """
+    WITH flat AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding) AS e
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_e6,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM flat GROUP BY label, pos
+"""
+
+
 ANN_ORACLE_SQL = {
     # exact brute-force top-k is SQL-expressible with DuckDB list ops
     "ann_bruteforce_topk": _BRUTEFORCE_SQL,
+    "centroid_by_label_embeddings": _CENTROID_SQL,
     # the harness runs IVF with n_probe=None (= nlist): the IVF
     # machinery (bounded-sample centroid training, bucket assignment,
     # probe routing) all executes, but exhaustive probing makes the
@@ -356,4 +420,5 @@ def _ann_ivf_exhaustive(sf_dir: str):
 ANN_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": _ann_ivf_exhaustive,
+    "centroid_by_label_embeddings": centroid_by_label_embeddings,
 }

@@ -143,6 +143,56 @@ def exact_dedup_documents(sf_dir: str):
     return kept.select_columns(["text_md5", "doc_id"])
 
 
+# keep-best family key: first KEEP_BEST_PREFIX tokens ('[a-z]+' on
+# lowered text, the corpus-wide tokenization all freq/text oracles
+# share).  8 opening tokens identify an "article family" (syndicated
+# copies keep their lede); 23/500 sf0.01 families are multi-member, so
+# the argmax path is exercised non-vacuously.
+KEEP_BEST_PREFIX = 8
+
+_LOWER_TOKEN_RE = re.compile(r"[a-z]+")
+
+
+def dedup_keep_best_documents(sf_dir: str):
+    """Keep-BEST dedup: the training-data variant of exact dedup where
+    the survivor of each duplicate family is the highest-quality member
+    (longest text, tie-broken by min doc_id), not whichever arrived
+    first.  Families are keyed by the md5 of the first
+    ``KEEP_BEST_PREFIX`` tokens — same-opening syndicated copies
+    collapse, and the longest (least-truncated) copy survives.
+
+    Scale shape: identical to exact dedup — one range-partition shuffle
+    on the family key (a hash, uniform by construction), argmax
+    resolved locally per block; only (key, doc_id, n_chars) rows enter
+    the shuffle, never the text."""
+    ds = ops.read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        pres = [
+            " ".join(_LOWER_TOKEN_RE.findall(x.lower())[:KEEP_BEST_PREFIX])
+            for x in t.column("text").to_pylist()
+        ]
+        hs = [hashlib.md5(p.encode()).hexdigest() for p in pres]
+        return pa.table(
+            {
+                "prefix_md5": pa.array(hs, pa.string()),
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+                # exact_dedup keeps the ascending-first row per key;
+                # negating n_chars turns that into argmax(n_chars)
+                "neg_nchars": pc.negate(t.column("n_chars")),
+            }
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    kept = ops.exact_dedup(
+        keyed, keys=["prefix_md5"], order_by=["neg_nchars", "doc_id"]
+    )
+    return kept.select_columns(["prefix_md5", "doc_id", "n_chars"])
+
+
 # LSH bucket cap: buckets beyond this emit O(n) star pairs instead of
 # all-pairs.  1024 keeps the per-bucket vectorized verify cheap (~0.5M
 # pair ops) while defusing genuinely pathological boilerplate buckets.
@@ -1288,6 +1338,21 @@ DEDUP_ORACLE_SQL = {
         SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
         FROM documents GROUP BY md5(text)
     """,
+    "dedup_keep_best_documents": f"""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 md5(array_to_string(
+                     list_slice(regexp_extract_all(lower(text), '[a-z]+'),
+                                1, {KEEP_BEST_PREFIX}), ' ')) AS prefix_md5
+          FROM documents
+        ), r AS (
+          SELECT prefix_md5, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY prefix_md5
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM t
+        )
+        SELECT prefix_md5, doc_id, n_chars FROM r WHERE rn = 1
+    """,
     # TRUE trigram-set Jaccard over all pairs — the engine's LSH must
     # recover every pair >= threshold (recall at j>=0.9 on this fixture
     # is ~certain and deterministic: same hashes every run)
@@ -1535,6 +1600,7 @@ DEDUP_ORACLE_SQL["scrub_dup_spans"] = rf"""
 
 DEDUP_QUERIES = {
     "exact_dedup_documents": exact_dedup_documents,
+    "dedup_keep_best_documents": dedup_keep_best_documents,
     "scrub_dup_spans": scrub_dup_spans_documents,
     "dedup_clusters_minhash": dedup_clusters_minhash,
     "dedup_incremental": dedup_incremental_documents,

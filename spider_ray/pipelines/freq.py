@@ -238,6 +238,101 @@ def bigram_counts_documents(sf_dir: str, min_count: int = BIGRAM_MIN_COUNT,
 
 
 # ---------------------------------------------------------------------------
+# unigram-LM rarity scoring: broadcast top-V vocab, per-doc score
+# ---------------------------------------------------------------------------
+
+# small at fixture scale so the OOV path is non-vacuous (the sf corpus
+# has ~30 distinct terms; 16 leaves ~half out-of-vocab and makes the
+# rank-boundary tie-break observable).  A production run uses ~50k.
+LM_VOCAB_SIZE = 16
+LM_RARITY_SCALE = 1_000_000
+
+
+def unigram_lm_score_documents(sf_dir: str, vocab_size: int = LM_VOCAB_SIZE):
+    """CCNet-style LM quality scoring in the broadcast-model shape:
+    train a unigram model on the corpus (distributed term counts ->
+    bounded top-V vocabulary), broadcast it, and score every document
+    in one streaming pass.  The score is integer-exact so the DuckDB
+    twin reproduces it bit-for-bit: token rarity = SCALE // count
+    (out-of-vocab tokens get max rarity SCALE, i.e. count-1 smoothing),
+    doc score = sum of rarities, rarity_e2 = mean rarity in e2 fixed
+    point.  High scores = rare-token-heavy documents — the same
+    filtering decision a real perplexity filter makes, minus the
+    float log whose last-ulp behavior no two engines share.
+
+    Scale shape: pass 1 is the bigram-counts kernel (per-batch partial
+    counts, ONE range-partition shuffle over the term domain, top-V
+    merge moving <= V rows per block); the vocabulary is V rows by
+    construction — never data-sized — so the broadcast is a closure
+    constant shipped once per worker, and pass 2 is shuffle-free."""
+
+    def term_partials(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for w in _terms(txt):
+                counts[w] = counts.get(w, 0) + 1
+        ts = sorted(counts)
+        return pa.table(
+            {
+                "term": pa.array(ts, pa.string()),
+                "cnt": pa.array([counts[w] for w in ts], pa.int64()),
+            }
+        )
+
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    totals = ops.partial_sum_agg(
+        ds.select_columns(["text"]).map_batches(
+            term_partials, batch_format="pyarrow"
+        ),
+        keys=["term"], sums={"cnt": "n"}, counts=None,
+        bounded=False,  # term domain is data-sized at corpus scale
+    )
+
+    def local_topv(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("term", "ascending")]
+        )[:vocab_size]
+        return t.take(idx)
+
+    vocab_rows = (
+        totals.map_batches(local_topv, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_topv, batch_size=None, batch_format="pyarrow")
+        .take_all()  # <= vocab_size rows by construction
+    )
+    rarity = {
+        r["term"]: LM_RARITY_SCALE // r["n"] for r in vocab_rows
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        doc_ids, n_toks, scores = [], [], []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = _terms(txt)
+            if not toks:
+                continue  # SQL twin's join drops token-less docs too
+            doc_ids.append(did)
+            n_toks.append(len(toks))
+            scores.append(
+                sum(rarity.get(w, LM_RARITY_SCALE) for w in toks)
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+                "rarity_e2": pa.array(
+                    [100 * s // n for s, n in zip(scores, n_toks)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # inverted text index: materialized term-hash-bucket layout + search
 # ---------------------------------------------------------------------------
 
@@ -359,9 +454,34 @@ FREQ_QUERIES = {
     "heavy_hitters_terms": heavy_hitters_terms,
     "bigram_counts_documents": bigram_counts_documents,
     "text_index_search": text_index_search,
+    "unigram_lm_score_documents": unigram_lm_score_documents,
 }
 
 FREQ_ORACLE_SQL = {
+    "unigram_lm_score_documents": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents
+        ), toks3 AS (
+          SELECT doc_id, term FROM toks WHERE length(term) >= 3
+        ), counts AS (
+          SELECT term, COUNT(*) AS n FROM toks3 GROUP BY term
+        ), vocab AS (
+          SELECT term, n FROM counts
+          ORDER BY n DESC, term LIMIT {LM_VOCAB_SIZE}
+        ), scored AS (
+          SELECT t.doc_id,
+                 CASE WHEN v.n IS NULL THEN {LM_RARITY_SCALE}
+                      ELSE {LM_RARITY_SCALE} // v.n END AS r
+          FROM toks3 t LEFT JOIN vocab v USING (term)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(r) AS BIGINT) AS score,
+               CAST((100 * SUM(r)) // COUNT(*) AS BIGINT) AS rarity_e2
+        FROM scored GROUP BY doc_id
+    """,
     "heavy_hitters_terms": f"""
         WITH toks AS (
           SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
