@@ -88,6 +88,7 @@ QUERY_NAMES = [
     "dedup_keep_best_documents",
     "unigram_lm_score_documents",
     "centroid_by_label_embeddings",
+    "revenue_by_nation_asia",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

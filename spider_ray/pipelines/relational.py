@@ -387,6 +387,97 @@ def corr_qty_price_by_flag(sf_dir: str):
     return moments.map_batches(corr, batch_format="pyarrow")
 
 
+def revenue_by_nation_asia(sf_dir: str):
+    """TPC-H-Q5-style multi-way join: ASIA-region revenue per customer
+    nation — lineitem x orders x customer x nation x region, SUM of
+    exact integer cents.
+
+    The plan pushes aggregation below every join so the shuffles shrink
+    monotonically (the scale discipline for join chains):
+
+      1. per-ORDER revenue partial agg (lineitem's 4:1 fan-in folds
+         BEFORE any join moves it);
+      2. partitioned hash join to orders — both sides big, one
+         tagged-union shuffle;
+      3. per-CUSTOMER revenue partial agg (orders' fan-in folds);
+      4. partitioned hash join to customer (big at corpus scale);
+      5. broadcast inner join against the ASIA nations (25 rows max —
+         nation x region folds driver-side) doubles as the region
+         semi-filter;
+      6. bounded final agg on n_name (<= 25 rows).
+    """
+    li = ops.read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def order_cents(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(1.0, t.column("l_discount")),
+        )
+        rev = pc.floor(pc.add(pc.multiply(disc, 100.0), 0.5)).cast(pa.int64())
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_c": rev}
+        )
+
+    per_order = ops.partial_sum_agg(
+        li, pre=order_cents, keys=["l_orderkey"],
+        sums={"rev_c": "rev_c"}, counts=None,
+        bounded=False,  # order domain is data-sized
+    )
+
+    orders = ops.read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def rekey_orders(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["l_orderkey", "o_custkey"])
+
+    joined = ops.partitioned_hash_join(
+        per_order, orders.map_batches(rekey_orders, batch_format="pyarrow"),
+        on="l_orderkey",
+    )
+    per_cust = ops.partial_sum_agg(
+        joined, keys=["o_custkey"], sums={"rev_c": "rev_c"}, counts=None,
+        bounded=False,  # customer domain is data-sized
+    )
+
+    customer = ops.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def rekey_cust(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_custkey", "c_nationkey"])
+
+    with_nation = ops.partitioned_hash_join(
+        per_cust, customer.map_batches(rekey_cust, batch_format="pyarrow"),
+        on="o_custkey",
+    )
+
+    # nation x region is a fixed 25-row dimension: fold driver-side,
+    # broadcast; the inner join doubles as the region semi-filter
+    import os
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).to_pandas()
+    asia = nation.merge(
+        region[region["r_name"] == "ASIA"],
+        left_on="n_regionkey", right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+
+    tagged = ops.broadcast_join(with_nation, asia, on="c_nationkey")
+    return ops.partial_sum_agg(
+        tagged.select_columns(["n_name", "rev_c"]),
+        keys=["n_name"], sums={"rev_c": "revenue_cents"}, counts="n_custs",
+        bounded=True,  # <= 25 nations
+    )
+
+
 INTERVAL_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -723,6 +814,23 @@ ORACLE_SQL: dict[str, str] = {
                ec.n_events, cb.c_mktsegment
         FROM ec FULL OUTER JOIN cb ON ec.user_key = cb.c_custkey
     """,
+    "revenue_by_nation_asia": """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT)) AS rev_c
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_custkey
+        )
+        SELECT n_name,
+               CAST(SUM(rev_c) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_custs
+        FROM per_cust
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        GROUP BY n_name
+    """,
     "revenue_rollup_flag_status": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
@@ -762,5 +870,6 @@ QUERIES = {
     "customers_events_full_outer": customers_events_full_outer,
     "orders_from_active_users_bloom": orders_from_active_users_bloom,
     "revenue_rollup_flag_status": revenue_rollup_flag_status,
+    "revenue_by_nation_asia": revenue_by_nation_asia,
     "histogram_extendedprice": histogram_extendedprice,
 }
