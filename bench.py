@@ -89,6 +89,8 @@ QUERY_NAMES = [
     "unigram_lm_score_documents",
     "centroid_by_label_embeddings",
     "revenue_by_nation_asia",
+    "mode_event_type_by_user",
+    "distinct_users_per_type",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

@@ -387,6 +387,74 @@ def corr_qty_price_by_flag(sf_dir: str):
     return moments.map_batches(corr, batch_format="pyarrow")
 
 
+def mode_event_type_by_user(sf_dir: str):
+    """Per-group MODE (most frequent value): each user's dominant event
+    type, ties broken by event_type ASC.  Composition of two existing
+    scale primitives — a partial+final count over the (user, type) pair
+    domain, then argmax-per-user via the keep-first dedup kernel on
+    (-n, type) order — so the shuffles move (user, type, n) triples,
+    never events."""
+    ds = ops.read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(len(t), np.int64))
+        )
+
+    counts = ops.partial_sum_agg(
+        ds, pre=pre, keys=["user_id", "event_type"], sums={"one": "n"},
+        counts=None, bounded=False,  # (user, type) domain is data-sized
+    )
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        return t.append_column("neg_n", pc.negate(t.column("n")))
+
+    kept = ops.exact_dedup(
+        counts.map_batches(order_cols, batch_format="pyarrow"),
+        keys=["user_id"], order_by=["neg_n", "event_type"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "mode_event_type": t.column("event_type"),
+                "n": t.column("n"),
+            }
+        )
+
+    return kept.map_batches(finish, batch_format="pyarrow")
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact per-group COUNT DISTINCT: users per event type.  Per-batch
+    local distinct first (the combiner — shrinks the shuffle to unique
+    pairs per block), ONE range-partition dedup on the (type, user)
+    pair, then a bounded count per type (the type domain is an enum)."""
+    ds = ops.read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ops.exact_dedup(
+        ds.map_batches(local_distinct, batch_format="pyarrow"),
+        keys=["event_type", "user_id"], order_by=["user_id"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "one": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+
+    return ops.partial_sum_agg(
+        pairs, pre=pre, keys=["event_type"], sums={"one": "n_users"},
+        counts=None, bounded=True,  # event_type is an enum domain
+    )
+
+
 def revenue_by_nation_asia(sf_dir: str):
     """TPC-H-Q5-style multi-way join: ASIA-region revenue per customer
     nation — lineitem x orders x customer x nation x region, SUM of
@@ -814,6 +882,24 @@ ORACLE_SQL: dict[str, str] = {
                ec.n_events, cb.c_mktsegment
         FROM ec FULL OUTER JOIN cb ON ec.user_key = cb.c_custkey
     """,
+    "mode_event_type_by_user": """
+        WITH c AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY user_id, event_type
+        ), r AS (
+          SELECT user_id, event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS rn
+          FROM c
+        )
+        SELECT user_id, event_type AS mode_event_type, n
+        FROM r WHERE rn = 1
+    """,
+    "distinct_users_per_type": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
+    """,
     "revenue_by_nation_asia": """
         WITH per_cust AS (
           SELECT o_custkey,
@@ -871,5 +957,7 @@ QUERIES = {
     "orders_from_active_users_bloom": orders_from_active_users_bloom,
     "revenue_rollup_flag_status": revenue_rollup_flag_status,
     "revenue_by_nation_asia": revenue_by_nation_asia,
+    "mode_event_type_by_user": mode_event_type_by_user,
+    "distinct_users_per_type": distinct_users_per_type,
     "histogram_extendedprice": histogram_extendedprice,
 }
