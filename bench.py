@@ -91,6 +91,7 @@ QUERY_NAMES = [
     "revenue_by_nation_asia",
     "mode_event_type_by_user",
     "distinct_users_per_type",
+    "weighted_mix_by_source",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

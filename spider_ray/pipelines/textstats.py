@@ -724,6 +724,64 @@ def split_train_val_test_documents(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+# data-mixing weights: per-source keep fraction in 1/256ths (one md5
+# byte of resolution).  A production run passes the tuned mixture
+# (wiki 3x, forums 0.5x, ...); the default covers the fixture's
+# src0..src19 with a deterministic spread including a zeroed source,
+# and unknown sources fall back to MIX_DEFAULT_256.
+MIX_WEIGHTS_256: dict[str, int] = {
+    f"src{i}": (i * 41) % 256 for i in range(20)
+}
+MIX_DEFAULT_256 = 128
+
+
+def weighted_mix_by_source(sf_dir: str,
+                           weights_256: dict[str, int] | None = None,
+                           default_256: int = MIX_DEFAULT_256):
+    """Training-mixture sampling: keep each document with a per-SOURCE
+    probability (the data-mixing step that upsamples wikis and
+    downsamples boilerplate corpora), decided by a content key —
+    md5(source:doc_id) first byte vs the source's weight — so the
+    sample is deterministic under any partitioning, block split,
+    resume or corpus growth.  Stateless vectorized map, no shuffle;
+    the weights dict is a model-sized closure constant (same broadcast
+    discipline as the unigram-LM vocabulary)."""
+    w = MIX_WEIGHTS_256 if weights_256 is None else weights_256
+
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        mask = np.fromiter(
+            (
+                hashlib.md5(f"{s}:{k}".encode()).digest()[0]
+                < w.get(s, default_256)
+                for s, k in zip(srcs, ids)
+            ),
+            bool, len(ids),
+        )
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _mix_oracle_sql() -> str:
+    """DuckDB twin generated from the SAME weights dict: a VALUES
+    lookup of per-source 2-hex-digit thresholds (lowercase hex compare
+    == numeric byte compare, the sample_orders_hash idiom)."""
+    rows = ", ".join(
+        f"('{s}', '{v:02x}')" for s, v in sorted(MIX_WEIGHTS_256.items())
+    )
+    return f"""
+        WITH w(source, thr) AS (VALUES {rows})
+        SELECT d.doc_id, d.source
+        FROM documents d LEFT JOIN w ON d.source = w.source
+        WHERE substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+              < COALESCE(w.thr, '{MIX_DEFAULT_256:02x}')
+    """
+
+
 SEQ_PACK_LEN = 256
 
 
@@ -885,6 +943,7 @@ TEXT_ORACLE_SQL = {
                     ELSE 'test' END AS split
         FROM documents
     """,
+    "weighted_mix_by_source": _mix_oracle_sql(),
     "shard_shuffle_documents": f"""
         SELECT doc_id,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT
@@ -1149,6 +1208,7 @@ TEXT_ORACLE_SQL = {
 
 TEXT_QUERIES = {
     "split_train_val_test": split_train_val_test_documents,
+    "weighted_mix_by_source": weighted_mix_by_source,
     "pack_training_sequences": pack_training_sequences,
     "shard_shuffle_documents": shard_shuffle_documents,
     "stratified_sample_documents": stratified_sample_documents,
