@@ -710,6 +710,240 @@ def revenue_rollup_flag_status(sf_dir: str):
     )
 
 
+def revenue_cube_flag_status(sf_dir: str):
+    """GROUP BY CUBE (full grouping-sets lattice): revenue + count at
+    FOUR levels — (flag, status), (flag), (status), grand total.  Same
+    scale shape as the ROLLUP twin (revenue_rollup_flag_status): ONE
+    distributed partial+final pass at the finest level; every coarser
+    level re-aggregates the finest RESULT (<= 9 rows, key-domain
+    bounded), so adding CUBE's extra (status) level over ROLLUP costs
+    zero extra passes over the data."""
+    ds = ops.read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))
+        )
+        rev = pc.floor(pc.add(pc.multiply(disc_price, 100.0), 0.5)).cast(
+            pa.int64()
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "rev_c": rev,
+            }
+        )
+
+    finest = ops.partial_sum_agg(
+        ds, pre=add_cents, keys=["l_returnflag", "l_linestatus"],
+        sums={"rev_c": "revenue_cents"}, counts="n",
+    )
+    base = finest.to_pandas()
+    levels = [base]
+    for keep in (["l_returnflag"], ["l_linestatus"], []):
+        lvl = (
+            base.groupby(keep, as_index=False)[["revenue_cents", "n"]].sum()
+            if keep
+            else base[["revenue_cents", "n"]].sum().to_frame().T
+        )
+        for col in ("l_returnflag", "l_linestatus"):
+            if col not in keep:
+                lvl[col] = None
+        levels.append(lvl)
+    out = pd.concat(levels, ignore_index=True)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "revenue_cents": pa.array(
+                out["revenue_cents"].astype("int64"), pa.int64()
+            ),
+            "n": pa.array(out["n"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+def orders_dow_priority_counts(sf_dir: str):
+    """Date-part scalar functions (§2.8): order counts per (ISO
+    day-of-week, priority).  pyarrow's day_of_week is Monday=0, so
+    dow = day_of_week + 1 equals DuckDB's isodow (pinned by test);
+    the aggregate is the standard partial+final combiner."""
+    ds = ops.read_table(
+        sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t.column("o_orderdate")), 1).cast(
+            pa.int64()
+        )
+        return pa.table(
+            {"dow": dow, "o_orderpriority": t.column("o_orderpriority")}
+        )
+
+    return ops.partial_sum_agg(
+        ds, pre=pre, keys=["dow", "o_orderpriority"], sums={}, counts="n"
+    )
+
+
+def parse_customer_names(sf_dir: str):
+    """String scalar-function family (§2.8) in one vectorized pass:
+    split_part / CAST-with-leading-zeros / lower / length / concat —
+    all pyarrow compute kernels, zero Python per row."""
+    ds = ops.read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("c_name"), "#")
+        cust_no = pc.list_element(parts, 1).cast(pa.int64())
+        seg_lc = pc.utf8_lower(t.column("c_mktsegment"))
+        name_len = pc.utf8_length(t.column("c_name")).cast(pa.int64())
+        label = pc.binary_join_element_wise(
+            seg_lc, pc.cast(cust_no, pa.string()), "-"
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "cust_no": cust_no,
+                "seg_lc": seg_lc,
+                "name_len": name_len,
+                "label": label,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def nations_with_customers_and_suppliers(sf_dir: str):
+    """INTERSECT (completes the D5 set-op family: except/semi/anti
+    already have queries): nation keys present in BOTH the customer
+    and the supplier tables.  Each side collapses to its bounded
+    distinct-key set via the partial+final combiner (the shuffle moves
+    one row per key per batch); the intersection itself runs on two
+    key-domain-bounded results."""
+    cust = ops.read_table(sf_dir, "customer", columns=["c_nationkey"])
+    supp = ops.read_table(sf_dir, "supplier", columns=["s_nationkey"])
+
+    def pre(col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"nationkey": t.column(col).cast(pa.int64())}
+            )
+
+        return f
+
+    d1 = ops.partial_sum_agg(
+        cust, pre=pre("c_nationkey"), keys=["nationkey"], sums={}, counts="c"
+    ).to_pandas()
+    d2 = ops.partial_sum_agg(
+        supp, pre=pre("s_nationkey"), keys=["nationkey"], sums={}, counts="c"
+    ).to_pandas()
+    both = sorted(set(d1["nationkey"]) & set(d2["nationkey"]))
+    return pa.table({"nationkey": pa.array(both, pa.int64())})
+
+
+def median_price_by_flag(sf_dir: str):
+    """Per-GROUP exact discrete quantile (quantiles_lineitem is
+    global): the median l_extendedprice per returnflag, as
+    quantile_disc(0.5) — the value at index ceil(n/2)-1 of the sorted
+    group (pinned against DuckDB by test).
+
+    Scale shape: ONE combiner shuffle builds the per-(flag, price_e2)
+    count histogram — rows bounded by |flags| x |distinct prices| (a
+    price-like DOMAIN, which does not grow with corpus size), never by
+    the data.  Selection then runs per flag on its histogram slice: a
+    vectorized sort + cumulative-count scan finds the k-th value
+    without ever touching raw rows."""
+    ds = ops.read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        cents = pc.floor(
+            pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)
+        ).cast(pa.int64())
+        return pa.table(
+            {"l_returnflag": t.column("l_returnflag"), "price_e2": cents}
+        )
+
+    hist = ops.partial_sum_agg(
+        ds, pre=pre, keys=["l_returnflag", "price_e2"], sums={},
+        counts="c", bounded=False,
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("price_e2", kind="mergesort")
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        idx = (n + 1) // 2 - 1  # ceil(0.5*n)-1: DuckDB quantile_disc
+        pos = int(np.searchsorted(np.cumsum(c), idx + 1))
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "median_price_e2": np.array(
+                    [g["price_e2"].iloc[pos]], np.int64
+                ),
+                "n": np.array([n], np.int64),
+            }
+        )
+
+    return hist.groupby("l_returnflag").map_groups(
+        pick, batch_format="pandas"
+    )
+
+
+def gini_event_type_by_user(sf_dir: str):
+    """Per-user event-type diversity as GINI IMPURITY — 1 - sum((c/n)^2)
+    — in e6 fixed point.  Chosen over Shannon entropy deliberately:
+    gini is a pure integer expression ((n^2 - sum c^2) * 1e6 // n^2),
+    so engine and DuckDB agree bit-for-bit with no cross-engine libm
+    log() dependence.  Two combiner shuffles, both moving partial
+    counts: (user, type) counts, then per-user (n, sum c^2) — the
+    second pass's c^2 projection is fused into its combiner."""
+    ds = ops.read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    pairs = ops.partial_sum_agg(
+        ds, keys=["user_id", "event_type"], sums={}, counts="c",
+        bounded=False,
+    )
+
+    def square(t: pa.Table) -> pa.Table:
+        c = t.column("c")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "c": c,
+                "c2": pc.multiply(c, c),
+            }
+        )
+
+    per_user = ops.partial_sum_agg(
+        pairs, pre=square, keys=["user_id"], sums={"c": "n", "c2": "s2"},
+        counts=None, bounded=False,
+    )
+
+    def gini(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = n * n
+        # int64-safe for n <= ~3e6 events/user ((n^2-s2)*1e6 < 2^63);
+        # beyond that the multiplier would move to python ints per row
+        g = (nn - s2) * 1_000_000 // nn
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n": pa.array(n, pa.int64()),
+                "gini_e6": pa.array(g, pa.int64()),
+            }
+        )
+
+    return per_user.map_batches(gini, batch_format="pyarrow")
+
+
 def histogram_extendedprice(sf_dir: str):
     """Fixed-width histogram over l_extendedprice ($500 bins) — the
     partial-count combiner means the shuffle carries one row per
@@ -729,6 +963,55 @@ def histogram_extendedprice(sf_dir: str):
 
 
 ORACLE_SQL: dict[str, str] = {
+    "revenue_cube_flag_status": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(floor(
+                 l_extendedprice * (1 - l_discount) * 100 + 0.5
+               ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "orders_dow_priority_counts": """
+        SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+               o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    """,
+    "parse_customer_names": """
+        SELECT c_custkey,
+               CAST(split_part(c_name, '#', 2) AS BIGINT) AS cust_no,
+               lower(c_mktsegment) AS seg_lc,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               lower(c_mktsegment) || '-'
+                 || CAST(CAST(split_part(c_name, '#', 2) AS BIGINT)
+                         AS VARCHAR) AS label
+        FROM customer
+    """,
+    "nations_with_customers_and_suppliers": """
+        SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey
+        FROM customer
+        INTERSECT
+        SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier
+    """,
+    "median_price_by_flag": """
+        SELECT l_returnflag,
+               CAST(quantile_disc(
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), 0.5
+               ) AS BIGINT) AS median_price_e2,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1
+    """,
+    "gini_event_type_by_user": """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2
+        ), u AS (
+          SELECT user_id, SUM(c) AS n, SUM(c * c) AS s2 FROM c GROUP BY 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               CAST(((n * n - s2) * 1000000) // (n * n) AS BIGINT) AS gini_e6
+        FROM u
+    """,
     "filter_lineitem": """
         SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate
         FROM lineitem
@@ -956,6 +1239,12 @@ QUERIES = {
     "customers_events_full_outer": customers_events_full_outer,
     "orders_from_active_users_bloom": orders_from_active_users_bloom,
     "revenue_rollup_flag_status": revenue_rollup_flag_status,
+    "revenue_cube_flag_status": revenue_cube_flag_status,
+    "orders_dow_priority_counts": orders_dow_priority_counts,
+    "parse_customer_names": parse_customer_names,
+    "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
+    "median_price_by_flag": median_price_by_flag,
+    "gini_event_type_by_user": gini_event_type_by_user,
     "revenue_by_nation_asia": revenue_by_nation_asia,
     "mode_event_type_by_user": mode_event_type_by_user,
     "distinct_users_per_type": distinct_users_per_type,

@@ -342,6 +342,74 @@ def event_gaps_lag(sf_dir: str):
     )
 
 
+def event_next_type_lead(sf_dir: str):
+    """LEAD window (forward complement of event_gaps_lag): per user,
+    the NEXT event's type and the microseconds until it —
+    ``lead(event_type) / lead(ts) OVER (PARTITION BY user_id ORDER BY
+    ts, event_id)``.  Last event per user carries ('', -1) instead of
+    NULLs (same dtype-stability rationale as event_gaps_lag: nullable
+    columns come back from the DuckDB twin type-shifted and would flip
+    the driver's value hash).  Scale shape: ONE range partition on
+    user_id, then a vectorized per-block shift."""
+    ds = ops.read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    n_parts = ops.cluster_parts()
+
+    def lead(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        nxt_ts = grp["ts"].shift(-1)
+        gap = (nxt_ts - g["ts"]) / pd.Timedelta(microseconds=1)
+        g = g.assign(
+            next_type=grp["event_type"].shift(-1).fillna(""),
+            next_gap_us=gap.fillna(-1.0).astype("int64"),
+        )
+        return g[["event_id", "user_id", "next_type", "next_gap_us"]]
+
+    return (
+        ds.repartition(n_parts)
+        .sort("user_id")
+        .map_batches(lead, batch_size=None, batch_format="pandas")
+    )
+
+
+def first_last_order_per_customer(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE windows: every order row annotated with
+    its customer's cheapest and priciest orderkey (frame = the whole
+    partition, ordered by (price_e2, orderkey)).  Distinct from
+    grouped-top-k and rank: nothing is truncated and the annotation is
+    a per-partition constant — the window shape Ray Data has no
+    primitive for, composed here as one range partition + a vectorized
+    per-block transform (the e2 cast makes the ordering identical in
+    both engines)."""
+    ds = ops.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    n_parts = ops.cluster_parts()
+
+    def fl(g: pd.DataFrame) -> pd.DataFrame:
+        p2 = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        g = g.assign(price_e2=p2)
+        g = g.sort_values(["o_custkey", "price_e2", "o_orderkey"],
+                          kind="mergesort")
+        grp = g.groupby("o_custkey", sort=False)
+        g = g.assign(
+            cheapest_order=grp["o_orderkey"].transform("first").astype("int64"),
+            priciest_order=grp["o_orderkey"].transform("last").astype("int64"),
+        )
+        return g[["o_orderkey", "o_custkey", "cheapest_order",
+                  "priciest_order"]]
+
+    return (
+        ds.repartition(n_parts)
+        .sort("o_custkey")
+        .map_batches(fl, batch_size=None, batch_format="pandas")
+    )
+
+
 def rolling_sum_events(sf_dir: str, frame: int = 3):
     """Bounded window frame: per user, the sum of ``value`` over the
     current and the two preceding events — ``SUM() OVER (PARTITION BY
@@ -462,6 +530,8 @@ def ntile_orders_per_customer(sf_dir: str, n_tiles: int = 4):
 
 WINDOW_QUERIES = {
     "sessionize_events": sessionize_events,
+    "event_next_type_lead": event_next_type_lead,
+    "first_last_order_per_customer": first_last_order_per_customer,
     "ntile_orders_per_customer": ntile_orders_per_customer,
     "rolling_sum_events": rolling_sum_events,
     "rank_orders_per_customer": rank_orders_per_customer,
@@ -474,6 +544,25 @@ WINDOW_QUERIES = {
 }
 
 WINDOW_ORACLE_SQL = {
+    "event_next_type_lead": """
+        SELECT event_id, user_id,
+               COALESCE(lead(event_type) OVER w, '') AS next_type,
+               CAST(COALESCE(lead(epoch_us(ts)) OVER w - epoch_us(ts), -1)
+                    AS BIGINT) AS next_gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "first_last_order_per_customer": """
+        SELECT o_orderkey, o_custkey,
+               first_value(o_orderkey) OVER w AS cheapest_order,
+               last_value(o_orderkey) OVER w AS priciest_order
+        FROM orders
+        WINDOW w AS (
+          PARTITION BY o_custkey
+          ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
     "ntile_orders_per_customer": """
         SELECT o_orderkey, o_custkey,
                CAST(ntile(4) OVER w AS BIGINT) AS tile,
