@@ -399,6 +399,180 @@ _CENTROID_SQL = """
 """
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def _quantize_e6(t: pa.Table, dim_hint: int | None = None) -> np.ndarray:
+    """(n, dim) int64 e6 fixed-point matrix from the list<float> column.
+    float32 -> float64 widening is exact, so the floor (and everything
+    downstream, which is pure int64 arithmetic) is bit-reproducible by
+    the DuckDB twin — no cross-engine float summation order anywhere."""
+    emb = t.column("embedding").combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    dim = dim_hint or (len(flat) // max(1, len(t)))
+    return np.floor(flat.astype(np.float64) * 1e6).astype(np.int64).reshape(-1, dim)
+
+
+def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
+                      iterations: int = KMEANS_ITERS):
+    """Distributed Lloyd k-means over the embeddings table — the full
+    iterative trainer on top of the centroid accumulator
+    (centroid_by_label_embeddings): ``iterations`` supersteps of
+    (assign to nearest centroid, recompute centroids).
+
+    Exactness: everything after the e6 floor is int64.  Assignment
+    compares ``||c_j||^2 - 2 x.c_j`` (same argmin as squared L2 — the
+    per-row ``||x||^2`` constant cancels), ties broken by smallest
+    cluster id (np.argmin first-min == the SQL twin's
+    ``ORDER BY d2, cluster``).  Centroid update is FLOOR division
+    (numpy ``//``); DuckDB's ``//`` truncates toward zero, so the twin
+    uses the pymod identity ``(s - ((s % n) + n) % n) // n`` which is
+    an exact division and therefore floor under either rule.  Empty
+    clusters keep their previous centroid and report n = 0.
+
+    Scale shape: NO per-iteration shuffle at all.  Centroids (k x dim,
+    model-sized) ride the closure; each batch does one int64 matmul +
+    argmin and folds to <= k x dim partial rows; the bounded
+    tree-combine returns k x dim rows to the driver, which computes the
+    next centroids.  Per superstep the cluster moves O(k * dim * blocks)
+    bytes, never O(data).  The input is materialized once so the
+    parquet scan doesn't repeat per iteration (object-store spill
+    handles the 100 TB case; this is the standard Ray iterative-ML
+    layout, same as pagerank_order_part's rank pinning)."""
+    ds = ops.read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    # --- init: the k smallest vec_ids' quantized embeddings.
+    # Per-batch top-k keeps the driver collect bounded at k x blocks.
+    def seed_partial(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(vid, kind="stable")[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    seed_rows = ds.map_batches(seed_partial, batch_format="pyarrow").take_all()
+    seed_rows.sort(key=lambda r: int(r["vec_id"]))
+    seed_rows = seed_rows[:k]
+    cents = np.stack([
+        np.floor(np.asarray(r["embedding"], np.float32)
+                 .astype(np.float64) * 1e6).astype(np.int64)
+        for r in seed_rows
+    ])  # (k, dim)
+    dim = cents.shape[1]
+    sizes = np.zeros(k, np.int64)
+
+    for _ in range(iterations):
+        c = cents.copy()
+        cc = (c * c).sum(axis=1)  # (k,) int64, <= dim * (4e5)^2 ~ 1e13
+
+        def partial(t: pa.Table, c=c, cc=cc) -> pa.Table:
+            x = _quantize_e6(t, dim)
+            score = cc[None, :] - 2 * (x @ c.T)  # (n, k) int64
+            assign = np.argmin(score, axis=1)
+            out_c, out_p, out_s, out_n = [], [], [], []
+            for j in np.unique(assign):
+                m = assign == j
+                out_c.append(np.full(dim, int(j), np.int64))
+                out_p.append(np.arange(1, dim + 1, dtype=np.int64))
+                out_s.append(x[m].sum(axis=0))
+                out_n.append(np.full(dim, int(m.sum()), np.int64))
+            return pa.table({
+                "cluster": pa.array(np.concatenate(out_c), pa.int64()),
+                "pos": pa.array(np.concatenate(out_p), pa.int64()),
+                "sum_e6": pa.array(np.concatenate(out_s), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+            })
+
+        agg = ops.partial_sum_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["cluster", "pos"], sums={"sum_e6": "sum_e6", "n": "n"},
+            counts=None, bounded=True,  # k x dim rows, model-sized
+        ).take_all()
+
+        sizes = np.zeros(k, np.int64)
+        sums = np.zeros((k, dim), np.int64)
+        for r in agg:
+            j, p = int(r["cluster"]), int(r["pos"]) - 1
+            sums[j, p] = int(r["sum_e6"])
+            sizes[j] = int(r["n"])
+        nonempty = sizes > 0
+        cents[nonempty] = sums[nonempty] // sizes[nonempty, None]
+
+    out = pa.table({
+        "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
+        "pos": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), k)),
+        "centroid_e6": pa.array(cents.reshape(-1)),
+        "n": pa.array(np.repeat(sizes, dim)),
+    })
+    return ray.data.from_arrow(out)
+
+
+def _kmeans_sql(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
+    """Unrolled-CTE twin: c0 = seeds, then per iteration an assignment
+    CTE (full argmin over summed squared L2 — same order as the Ray
+    side's reduced score) and an update CTE (floor division via the
+    pymod identity; COALESCE keeps empty clusters' previous centroid)."""
+    steps = []
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""a{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY SUM((p.x - c.c) * (p.x - c.c)) ASC, c.cluster ASC
+               ) AS rn
+        FROM pts p JOIN {prev} c USING (pos)
+        GROUP BY p.vec_id, c.cluster
+      ) WHERE rn = 1
+    ),
+    u{i} AS (
+      SELECT a.cluster, p.pos,
+             CAST(SUM(p.x) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{i} a JOIN pts p USING (vec_id)
+      GROUP BY a.cluster, p.pos
+    ),
+    c{i} AS (
+      SELECT c.cluster, c.pos,
+             CAST(COALESCE(
+               (u.s - (((u.s % u.n) + u.n) % u.n)) // u.n, c.c
+             ) AS BIGINT) AS c
+      FROM {prev} c LEFT JOIN u{i} u
+        ON u.cluster = c.cluster AND u.pos = c.pos
+    )""")
+        prev = f"c{i}"
+    body = ",\n    ".join(steps)
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+             CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS x
+      FROM (SELECT vec_id,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(embedding) AS e
+            FROM embeddings)
+    ),
+    seeds AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    c0 AS (
+      SELECT CAST(s.cluster AS BIGINT) AS cluster, p.pos, p.x AS c
+      FROM seeds s JOIN pts p USING (vec_id)
+    ),
+    {body},
+    sizes AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{iterations} GROUP BY cluster
+    )
+    SELECT c.cluster, c.pos, c.c AS centroid_e6,
+           CAST(COALESCE(sz.n, 0) AS BIGINT) AS n
+    FROM c{iterations} c LEFT JOIN sizes sz USING (cluster)
+    ORDER BY c.cluster, c.pos
+"""
+
+
 ANN_ORACLE_SQL = {
     # exact brute-force top-k is SQL-expressible with DuckDB list ops
     "ann_bruteforce_topk": _BRUTEFORCE_SQL,
@@ -410,6 +584,7 @@ ANN_ORACLE_SQL = {
     # oracle; the n_probe<nlist approximate path is recall-tested in
     # tests/test_ann.py
     "ann_ivf_topk": _BRUTEFORCE_SQL,
+    "kmeans_embeddings": _kmeans_sql(),
 }
 
 
@@ -421,4 +596,5 @@ ANN_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": _ann_ivf_exhaustive,
     "centroid_by_label_embeddings": centroid_by_label_embeddings,
+    "kmeans_embeddings": kmeans_embeddings,
 }

@@ -80,3 +80,71 @@ def test_ivf_index_build_idempotent(ray_session, tmp_path):
     mtime = os.path.getmtime(f"{idx}/centroids.npy")
     build_ivf_index(SF_DIR, idx, n_centroids=8)  # no rebuild
     assert os.path.getmtime(f"{idx}/centroids.npy") == mtime
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means
+# ---------------------------------------------------------------------------
+
+def test_kmeans_shape_and_mass_conservation(ray_session):
+    from spider_ray.pipelines.ann import kmeans_embeddings
+
+    df = kmeans_embeddings(SF_DIR).to_pandas()
+    k, dim = 4, 64
+    assert len(df) == k * dim
+    sizes = df.groupby("cluster")["n"].first()
+    # every input vector is assigned to exactly one cluster
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
+    assert int(sizes.sum()) == n_rows
+    # deterministic: a second run is identical
+    df2 = kmeans_embeddings(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(df, df2)
+
+
+def test_kmeans_empty_cluster_keeps_seed(ray_session, tmp_path):
+    """vec 1's embedding duplicates vec 0's, so the distance-0 tie
+    resolves to cluster 0 and cluster 1 never receives a point: it must
+    keep its seed centroid with n = 0 — on BOTH engines."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.ann import _kmeans_sql, kmeans_embeddings
+
+    dim = 4
+    vecs = [
+        [0.1, 0.2, 0.3, 0.4],   # vec 0 (seed c0)
+        [0.1, 0.2, 0.3, 0.4],   # vec 1 (seed c1) — duplicate of vec 0
+        [-0.3, 0.1, 0.0, 0.2],  # vec 2 (seed c2)
+        [0.25, -0.15, 0.05, -0.3],  # vec 3 (seed c3)
+        [0.1, 0.2, 0.3, 0.4],   # exact copy of vec 0 — c0 never moves
+        [0.1, 0.2, 0.3, 0.4],   # exact copy of vec 0
+    ]
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    sf = str(tmp_path / "sf_dup")
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(t, f"{sf}/embeddings.parquet")
+
+    df = kmeans_embeddings(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    odf = con.execute(_kmeans_sql()).df()
+    a = df.sort_values(["cluster", "pos"]).reset_index(drop=True)
+    b = odf.sort_values(["cluster", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    sizes = a.groupby("cluster")["n"].first()
+    assert sizes[1] == 0  # cluster 1 is empty: tie went to cluster 0
+    # its centroid is exactly its (quantized) seed
+    import numpy as np
+
+    seed1 = np.floor(np.asarray(vecs[1], np.float64) * 1e6).astype("int64")
+    kept = a[a.cluster == 1].sort_values("pos")["centroid_e6"].to_numpy()
+    assert (kept == seed1).all()
