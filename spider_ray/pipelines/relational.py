@@ -962,6 +962,86 @@ def histogram_extendedprice(sf_dir: str):
     )
 
 
+def zscore_chars_by_lang(sf_dir: str):
+    """Group-wise z-score normalization — the feature-scaling step of a
+    training pipeline (normalize a per-doc signal within its language)
+    as a TWO-PASS broadcast pattern: pass 1 folds exact integer moments
+    (sum, sum-of-squares, count) per lang into a key-domain-bounded
+    table; the driver collects those few rows and ships them back in
+    the closure; pass 2 is a shuffle-free per-batch map.  No join, no
+    data-sized collect — the shape survives any corpus size because
+    only |langs| x 3 integers ever leave the cluster.
+
+    Exactness: the moments are pure int64; the float expression
+    ``floor((x - s/n) / sqrt(ss/n - (s/n)*(s/n)) * 1e6)`` is evaluated
+    in the IDENTICAL IEEE order by both engines from the same exact
+    integer bits (corr_qty_price_by_flag's pattern).  Degenerate groups
+    (zero variance, checked in exact integer arithmetic: ss*n == s*s)
+    are excluded on both sides."""
+    ds = ops.read_table(sf_dir, "documents",
+                        columns=["doc_id", "lang", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({"lang": t.column("lang"),
+                         "x": pa.array(x), "x2": pa.array(x * x)})
+
+    stats = ops.partial_sum_agg(
+        ds, pre=pre, keys=["lang"], sums={"x": "s", "x2": "ss"}, counts="n",
+        bounded=True,  # |langs| rows
+    ).take_all()
+    # exact-integer variance gate; floats only inside the pinned expression
+    g = {r["lang"]: (int(r["s"]), int(r["ss"]), int(r["n"]))
+         for r in stats
+         if int(r["ss"]) * int(r["n"]) != int(r["s"]) * int(r["s"])}
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("lang"),
+                              value_set=pa.array(sorted(g))))
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "z_e6": pa.array([], pa.int64())})
+        x = t.column("n_chars").to_numpy(zero_copy_only=False)\
+             .astype(np.float64)
+        # lang -> group-stat gather: python touches only the <=|langs|
+        # dictionary, every row goes through a numpy take
+        enc = t.column("lang").combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        s = np.array([g[u][0] for u in uniq], np.float64)[idx]
+        ss = np.array([g[u][1] for u in uniq], np.float64)[idx]
+        n = np.array([g[u][2] for u in uniq], np.float64)[idx]
+        mean = s / n
+        z = np.floor((x - mean) / np.sqrt(ss / n - mean * mean)
+                     * 1_000_000.0).astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "z_e6": pa.array(z)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+_ZSCORE_SQL = """
+    WITH g AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(floor(
+             (CAST(d.n_chars AS DOUBLE) - CAST(g.s AS DOUBLE) / g.n)
+             / sqrt(CAST(g.ss AS DOUBLE) / g.n
+                    - (CAST(g.s AS DOUBLE) / g.n)
+                      * (CAST(g.s AS DOUBLE) / g.n))
+             * 1000000.0
+           ) AS BIGINT) AS z_e6
+    FROM documents d JOIN g USING (lang)
+    WHERE g.ss * g.n != g.s * g.s
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "revenue_cube_flag_status": """
         SELECT l_returnflag, l_linestatus,
@@ -1214,6 +1294,7 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n
         FROM lineitem GROUP BY 1
     """,
+    "zscore_chars_by_lang": _ZSCORE_SQL,
 }
 
 QUERIES = {
@@ -1230,6 +1311,7 @@ QUERIES = {
     "events_interval_join": events_interval_join,
     "supplier_price_stats": supplier_price_stats,
     "corr_qty_price_by_flag": corr_qty_price_by_flag,
+    "zscore_chars_by_lang": zscore_chars_by_lang,
     "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,
     "orders_by_month": orders_by_month,

@@ -528,7 +528,82 @@ def ntile_orders_per_customer(sf_dir: str, n_tiles: int = 4):
     )
 
 
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def funnel_signup_click_purchase(sf_dir: str):
+    """Ordered-funnel analysis: how many users did signup, then a LATER
+    click, then a STILL-LATER purchase (strict ts progression, earliest
+    milestone at each step).  The sequential-pattern shape that SQL
+    needs three correlated joins for.
+
+    Scale shape: events are pre-filtered to the funnel's type set
+    BEFORE the shuffle (the only all-to-all moves funnel-relevant rows,
+    not the whole log), then ONE range partition on user_id — the
+    partition key is the funnel key, so each user's timeline is
+    complete inside its block and three vectorized groupby-min passes
+    reproduce the sequential milestone chain.  Each partition folds to
+    3 partial rows; the final combine is key-domain-bounded (3 steps)."""
+    ds = ops.read_table(sf_dir, "events",
+                        columns=["user_id", "ts", "event_type"])
+    n_parts = ops.cluster_parts()
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t.column("event_type"),
+                     value_set=pa.array(list(FUNNEL_STEPS))))
+
+    def milestones(g: pd.DataFrame) -> pd.DataFrame:
+        s1, s2, s3 = FUNNEL_STEPS
+        t1 = g[g.event_type == s1].groupby("user_id")["ts"].min()
+        c = g.loc[g.event_type == s2, ["user_id", "ts"]]
+        c = c[c.ts > c.user_id.map(t1)]
+        t2 = c.groupby("user_id")["ts"].min()
+        p = g.loc[g.event_type == s3, ["user_id", "ts"]]
+        p = p[p.ts > p.user_id.map(t2)]
+        t3 = p.groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {"step": np.array([1, 2, 3], np.int64),
+             "users": np.array([len(t1), len(t2), len(t3)], np.int64)})
+
+    parts = (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .repartition(n_parts)
+        .sort("user_id")
+        .map_batches(milestones, batch_size=None, batch_format="pandas")
+    )
+    return ops.partial_sum_agg(
+        parts, keys=["step"], sums={"users": "users"}, counts=None,
+        bounded=True,  # 3 rows
+    )
+
+
+_FUNNEL_SQL = """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST(step AS BIGINT) AS step, CAST(users AS BIGINT) AS users
+    FROM (
+      SELECT 1 AS step, (SELECT COUNT(*) FROM t1) AS users
+      UNION ALL SELECT 2, (SELECT COUNT(*) FROM t2)
+      UNION ALL SELECT 3, (SELECT COUNT(*) FROM t3)
+    ) ORDER BY step
+"""
+
+
 WINDOW_QUERIES = {
+    "funnel_signup_click_purchase": funnel_signup_click_purchase,
     "sessionize_events": sessionize_events,
     "event_next_type_lead": event_next_type_lead,
     "first_last_order_per_customer": first_last_order_per_customer,
@@ -544,6 +619,7 @@ WINDOW_QUERIES = {
 }
 
 WINDOW_ORACLE_SQL = {
+    "funnel_signup_click_purchase": _FUNNEL_SQL,
     "event_next_type_lead": """
         SELECT event_id, user_id,
                COALESCE(lead(event_type) OVER w, '') AS next_type,
