@@ -1333,6 +1333,203 @@ def scrub_dup_spans_documents(sf_dir: str, n: int = DUP_NGRAM_N):
     )
 
 
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (PassJoin pigeonhole)
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX_LEN = 40
+EDIT_MAX_DIST = 2
+# d+1 = 3 segments of the fixed-length prefix (pigeonhole: <=2 edits
+# leave at least one segment untouched)
+_EDIT_SEGS = ((0, 14), (14, 27), (27, 40))
+EDIT_PLANTED = 20
+EDIT_PLANT_BASE = 10_000_000
+
+
+def _edit_plant(p: str) -> str:
+    """Two substitutions (0-idx 6 in segment 1, 0-idx 31 in segment 3)
+    — distance <= 2 with the MIDDLE segment intact, so the planted twin
+    is only findable through the pigeonhole index, never trivially."""
+    return p[:6] + "q" + p[7:31] + "q" + p[32:]
+
+
+def _codepoints(strs: list[str]) -> np.ndarray:
+    """(n, EDIT_PREFIX_LEN) uint32 codepoint matrix — utf-32 gives a
+    fixed 4 bytes per character, so the reshape is unicode-safe."""
+    buf = "".join(strs).encode("utf-32-le")
+    return np.frombuffer(buf, np.uint32).reshape(-1, EDIT_PREFIX_LEN)
+
+
+def _levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """Exact unit-cost Levenshtein for equal-length-40 string pairs,
+    vectorized ACROSS pairs: the 40x40 DP loop runs once per cell with
+    a numpy op over the whole candidate batch (1.6k vector ops total,
+    never a per-pair Python DP)."""
+    A, B = _codepoints(a), _codepoints(b)
+    n, m = A.shape[1], B.shape[1]
+    prev = np.broadcast_to(
+        np.arange(m + 1, dtype=np.int64), (A.shape[0], m + 1)
+    ).copy()
+    for i in range(1, n + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, m + 1):
+            sub = prev[:, j - 1] + (ai != B[:, j - 1])
+            np.minimum(sub, prev[:, j] + 1, out=sub)
+            np.minimum(sub, cur[:, j - 1] + 1, out=sub)
+            cur[:, j] = sub
+        prev = cur
+    return prev[:, m]
+
+
+def edit_distance_pairs_documents(sf_dir: str,
+                                  max_dist: int = EDIT_MAX_DIST):
+    """Edit-distance similarity join over the 40-char English document
+    prefixes: all pairs with Levenshtein distance <= 2, EXACTLY — the
+    PassJoin pigeonhole makes candidate generation lossless without a
+    self-join.  (Plus ``EDIT_PLANTED`` planted 2-substitution twins of
+    the smallest doc_ids so the oracle is non-vacuous at distance 2 on
+    any fixture; the corpus also carries genuine duplicate prefixes.)
+
+    Losslessness: the prefix is fixed-length, so an optimal alignment
+    with <= 2 edits leaves one of the 3 segments untouched and shifted
+    by at most the net indels before it (<= 2).  Each doc therefore
+    INDEXES its 3 aligned segments and PROBES every substring of each
+    segment length within +/-2 of the aligned start — any true pair
+    collides on at least one (segment, content) key.
+
+    Scale shape: the shuffle moves (segment, 13-14 char key, 40-char
+    prefix) rows — 3 index + <=15 probe keys per doc, never the text;
+    candidates form by a vectorized merge INSIDE each key co-partition
+    (bucket sizes are prefix-frequency bounded: max 7 at sf0.1), are
+    pair-deduped by one exact_dedup, and only then hit the 40x40
+    batched DP verifier.  No stage is O(n^2) in the corpus."""
+    docs = ops.read_table(sf_dir, "documents",
+                          columns=["doc_id", "text", "lang", "n_chars"])
+
+    def base(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.equal(t.column("lang"), "en"),
+            pc.greater_equal(t.column("n_chars"), EDIT_PREFIX_LEN)))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "p": pc.utf8_slice_codeunits(t.column("text"), 0,
+                                         EDIT_PREFIX_LEN),
+        })
+
+    ds = docs.map_batches(base, batch_format="pyarrow")
+
+    # planted twins: per-batch top-k keeps the driver collect bounded
+    def smallest(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:EDIT_PLANTED]
+        return t.take(pa.array(order, pa.int64()))
+
+    seed_rows = ds.map_batches(smallest, batch_format="pyarrow").take_all()
+    seed_rows.sort(key=lambda r: int(r["doc_id"]))
+    seed_rows = seed_rows[:EDIT_PLANTED]
+    planted = pa.table({
+        "doc_id": pa.array(
+            [int(r["doc_id"]) + EDIT_PLANT_BASE for r in seed_rows],
+            pa.int64()),
+        "p": pa.array([_edit_plant(str(r["p"])) for r in seed_rows]),
+    })
+    ds = ds.union(ray.data.from_arrow(planted))
+
+    d = max_dist
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids, p_col = t.column("doc_id"), t.column("p")
+        parts = []
+
+        def emit(seg: int, role: int, lo: int, hi: int) -> None:
+            parts.append(pa.table({
+                "seg": pa.array(np.full(len(t), seg, np.int64)),
+                "key": pc.utf8_slice_codeunits(p_col, lo, hi),
+                "role": pa.array(np.full(len(t), role, np.int64)),
+                "doc_id": ids,
+                "p": p_col,
+            }))
+
+        for seg, (s, e) in enumerate(_EDIT_SEGS):
+            ln = e - s
+            emit(seg, 0, s, e)  # index: the aligned segment
+            # probe: every start within the +/-d shift window
+            for st in range(max(0, s - d),
+                            min(EDIT_PREFIX_LEN - ln, s + d) + 1):
+                emit(seg, 1, st, st + ln)
+        return pa.concat_tables(parts)
+
+    key_rows = ds.map_batches(keys, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df[df.role == 0]
+        prb = df[df.role == 1]
+        m = idx.merge(prb, on=["seg", "key"], suffixes=("_a", "_b"))
+        m = m[m.doc_id_a != m.doc_id_b]
+        lo = np.minimum(m.doc_id_a.to_numpy(np.int64),
+                        m.doc_id_b.to_numpy(np.int64))
+        hi = np.maximum(m.doc_id_a.to_numpy(np.int64),
+                        m.doc_id_b.to_numpy(np.int64))
+        swap = m.doc_id_a.to_numpy(np.int64) != lo
+        pa_ = m.p_a.to_numpy(object).copy()
+        pb_ = m.p_b.to_numpy(object).copy()
+        pa_[swap], pb_[swap] = pb_[swap].copy(), pa_[swap].copy()
+        out = pd.DataFrame({"doc_a": lo, "doc_b": hi,
+                            "p_a": pa_, "p_b": pb_})
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    cands = (
+        key_rows.repartition(ops.cluster_parts())
+        .sort(["seg", "key"])
+        .map_batches(bucket_pairs, batch_size=None, batch_format="pandas")
+    )
+    cands = ops.exact_dedup(cands, keys=["doc_a", "doc_b"],
+                            order_by=["doc_a", "doc_b"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        dist = _levenshtein_batch(t.column("p_a").to_pylist(),
+                                  t.column("p_b").to_pylist())
+        keep = dist <= max_dist
+        return pa.table({
+            "doc_a": pa.array(
+                t.column("doc_a").to_numpy(zero_copy_only=False)[keep]),
+            "doc_b": pa.array(
+                t.column("doc_b").to_numpy(zero_copy_only=False)[keep]),
+            "dist": pa.array(dist[keep]),
+        })
+
+    return cands.map_batches(verify, batch_format="pyarrow")\
+                .sort(["doc_a", "doc_b"])
+
+
+_EDIT_PAIRS_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, {EDIT_PREFIX_LEN}) AS p
+      FROM documents
+      WHERE lang = 'en' AND n_chars >= {EDIT_PREFIX_LEN}
+    ),
+    aug AS (
+      SELECT doc_id, p FROM base
+      UNION ALL
+      SELECT doc_id + {EDIT_PLANT_BASE},
+             substr(p, 1, 6) || 'q' || substr(p, 8, 24) || 'q'
+               || substr(p, 33)
+      FROM (SELECT doc_id, p FROM base ORDER BY doc_id
+            LIMIT {EDIT_PLANTED})
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+    FROM aug a JOIN aug b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= {EDIT_MAX_DIST}
+"""
+
+
 DEDUP_ORACLE_SQL = {
     "exact_dedup_documents": """
         SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
@@ -1452,6 +1649,8 @@ def _embedding_near_dup_lsh_gate(sf_dir: str):
     return embedding_near_dup_lsh(
         sf_dir, cosine_threshold=0.99, plant_copies=50
     )
+
+DEDUP_ORACLE_SQL["edit_distance_pairs"] = _EDIT_PAIRS_SQL
 
 DEDUP_ORACLE_SQL["ngram_jaccard_pairs"] = """
     WITH raw AS (
@@ -1599,6 +1798,7 @@ DEDUP_ORACLE_SQL["scrub_dup_spans"] = rf"""
 """
 
 DEDUP_QUERIES = {
+    "edit_distance_pairs": edit_distance_pairs_documents,
     "exact_dedup_documents": exact_dedup_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
     "scrub_dup_spans": scrub_dup_spans_documents,

@@ -95,3 +95,63 @@ def test_embedding_lsh_recovers_planted_pairs(ray_session,
     planted = {(i, 20 + i) for i in range(5)}
     assert planted <= got, f"missing planted pairs: {planted - got}"
     assert (out["cosine_e4"] >= 9900).all()
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (PassJoin pigeonhole)
+# ---------------------------------------------------------------------------
+
+def test_levenshtein_batch_known_distances(ray_session):
+    from spider_ray.pipelines.dedup import _levenshtein_batch
+
+    a40 = "abcdefghijklmnopqrstuvwxyzabcdefghijklmn"
+    cases = [
+        (a40, a40, 0),
+        (a40, a40[:7] + "q" + a40[8:], 1),            # 1 substitution
+        (a40, a40[1:] + "z", 2),                      # del front + ins back
+        (a40, "q" * 40, 39),                          # far apart
+    ]
+    import numpy as np
+
+    d = _levenshtein_batch([c[0] for c in cases], [c[1] for c in cases])
+    assert list(d) == [c[2] for c in cases]
+
+
+def test_edit_pairs_catches_shifted_segments(ray_session, tmp_path):
+    """1 deletion at the front + 1 insertion at the back shifts EVERY
+    aligned segment by one, so aligned-only candidate generation would
+    miss the pair; the +/-d probe window must catch it.  The DuckDB
+    brute-force twin proves exactness on the same tiny corpus."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.dedup import (
+        _EDIT_PAIRS_SQL, edit_distance_pairs_documents)
+
+    base = "the quick brown fox jumps over the lazy"  # 39 chars
+    a = base + "x"            # 40
+    b = a[1:] + "z"           # ed(a, b) = 2, all segments shifted
+    c = "wholly unrelated text that is forty chr!"
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [a, b, c],
+        "lang": ["en"] * 3,
+        "n_chars": [40, 40, 40],
+    })
+    sf = str(tmp_path / "sf_edit")
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(rows), f"{sf}/documents.parquet")
+
+    df = edit_distance_pairs_documents(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    odf = con.execute(_EDIT_PAIRS_SQL).df()
+    key = ["doc_a", "doc_b", "dist"]
+    a_ = df[key].sort_values(key).reset_index(drop=True)
+    b_ = odf[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a_, b_.astype(a_.dtypes.to_dict()))
+    # the shifted pair itself is present at distance 2
+    assert ((a_.doc_a == 1) & (a_.doc_b == 2) & (a_.dist == 2)).any()
