@@ -1530,6 +1530,89 @@ _EDIT_PAIRS_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# snapshot diff (CDC: added / removed / changed)
+# ---------------------------------------------------------------------------
+
+def snapshot_diff_documents(sf_dir: str):
+    """Generic table-diff between two corpus snapshots — the CDC step
+    of an incremental pipeline (which docs were added, removed, or
+    changed since the last crawl).  Snapshots are derived
+    deterministically from the documents table (old: doc_id % 10 != 7;
+    new: doc_id % 10 != 3, with text amended for doc_id % 5 == 0) so
+    the twin reproduces them in CTEs; swap the derivations for two real
+    parquet roots and nothing else changes.
+
+    Scale shape: each side is reduced to (doc_id, side, md5) rows IN
+    THE SAME map pass over one read — text never enters the shuffle —
+    then ONE doc_id range partition co-locates a key's <=2 rows and a
+    vectorized merge classifies each key.  Unchanged rows are dropped
+    pre-output, so the result is diff-sized, not corpus-sized."""
+    docs = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sides(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        fp_old = [hashlib.md5(x.encode()).hexdigest() for x in texts]
+        fp_new = [
+            hashlib.md5((x + " v2").encode()).hexdigest()
+            if i % 5 == 0 else f
+            for i, x, f in zip(ids, texts, fp_old)
+        ]
+        m_old = ids % 10 != 7
+        m_new = ids % 10 != 3
+        return pa.table({
+            "doc_id": pa.array(np.r_[ids[m_old], ids[m_new]]),
+            "side": pa.array(np.r_[np.zeros(int(m_old.sum()), np.int64),
+                                   np.ones(int(m_new.sum()), np.int64)]),
+            "fp": pa.array(
+                [f for f, k in zip(fp_old, m_old) if k]
+                + [f for f, k in zip(fp_new, m_new) if k], pa.string()),
+        })
+
+    rows = docs.map_batches(sides, batch_format="pyarrow")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df.side == 0][["doc_id", "fp"]]
+        n = df[df.side == 1][["doc_id", "fp"]]
+        m = o.merge(n, on="doc_id", how="outer", suffixes=("_o", "_n"))
+        added = m.fp_o.isna()
+        removed = m.fp_n.isna()
+        changed = ~added & ~removed & (m.fp_o != m.fp_n)
+        m = m.assign(status=np.select(
+            [added, removed, changed],
+            ["added", "removed", "changed"], default=""))
+        m = m[m.status != ""]
+        return pd.DataFrame({"doc_id": m.doc_id.astype("int64"),
+                             "status": m.status})
+
+    return (
+        rows.repartition(ops.cluster_parts())
+        .sort("doc_id")
+        .map_batches(classify, batch_size=None, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 != 7
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                      ELSE text END) AS fp
+      FROM documents WHERE doc_id % 10 != 3
+    )
+    SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp != n.fp
+"""
+
+
 DEDUP_ORACLE_SQL = {
     "exact_dedup_documents": """
         SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
@@ -1651,6 +1734,8 @@ def _embedding_near_dup_lsh_gate(sf_dir: str):
     )
 
 DEDUP_ORACLE_SQL["edit_distance_pairs"] = _EDIT_PAIRS_SQL
+
+DEDUP_ORACLE_SQL["snapshot_diff_documents"] = _SNAPSHOT_DIFF_SQL
 
 DEDUP_ORACLE_SQL["ngram_jaccard_pairs"] = """
     WITH raw AS (
@@ -1799,6 +1884,7 @@ DEDUP_ORACLE_SQL["scrub_dup_spans"] = rf"""
 
 DEDUP_QUERIES = {
     "edit_distance_pairs": edit_distance_pairs_documents,
+    "snapshot_diff_documents": snapshot_diff_documents,
     "exact_dedup_documents": exact_dedup_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
     "scrub_dup_spans": scrub_dup_spans_documents,
