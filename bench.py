@@ -92,6 +92,11 @@ QUERY_NAMES = [
     "mode_event_type_by_user",
     "distinct_users_per_type",
     "weighted_mix_by_source",
+    "kmeans_embeddings",
+    "zscore_chars_by_lang",
+    "funnel_signup_click_purchase",
+    "edit_distance_pairs",
+    "snapshot_diff_documents",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

@@ -602,7 +602,41 @@ _FUNNEL_SQL = """
 """
 
 
+def event_path_per_user(sf_dir: str):
+    """Per-user ordered event-type sequence (the behavioral-path /
+    session-string feature: 'view>click>purchase') — SQL's
+    ``string_agg(... ORDER BY ...)``.  ONE user_id range partition
+    co-locates each user's history; inside the block a single
+    mergesort + groupby join builds every path.  Join work is bounded
+    per group by that user's history, never by the corpus."""
+    ds = ops.read_table(sf_dir, "events",
+                        columns=["user_id", "ts", "event_id", "event_type"])
+    n_parts = ops.cluster_parts()
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=True)["event_type"].agg(
+            path=">".join, n_events="size")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg.reset_index()
+
+    return (
+        ds.repartition(n_parts)
+        .sort("user_id")
+        .map_batches(paths, batch_size=None, batch_format="pandas")
+    )
+
+
+_EVENT_PATH_SQL = """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+"""
+
+
 WINDOW_QUERIES = {
+    "event_path_per_user": event_path_per_user,
     "funnel_signup_click_purchase": funnel_signup_click_purchase,
     "sessionize_events": sessionize_events,
     "event_next_type_lead": event_next_type_lead,
@@ -619,6 +653,7 @@ WINDOW_QUERIES = {
 }
 
 WINDOW_ORACLE_SQL = {
+    "event_path_per_user": _EVENT_PATH_SQL,
     "funnel_signup_click_purchase": _FUNNEL_SQL,
     "event_next_type_lead": """
         SELECT event_id, user_id,
