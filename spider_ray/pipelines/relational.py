@@ -9,12 +9,16 @@ engine is built from.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import os
+import shutil
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray.data
 
 from spider_ray import ops
 
@@ -1042,6 +1046,73 @@ _ZSCORE_SQL = """
 """
 
 
+def latest_event_per_user(sf_dir: str):
+    """Log compaction (SCD-1 / CDC upsert shape): each user's LATEST
+    full event row, ordered by (ts DESC, event_id DESC).  Same
+    exact_dedup primitive as keep-first dedup, with the order
+    materialized as negated int64 sort columns — the shuffle still
+    moves whole rows exactly once and each key compacts inside its
+    range partition."""
+    ds = ops.read_table(
+        sf_dir, "events",
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64())
+        return (t.append_column("neg_ts", pc.negate(ts_us))
+                 .append_column("neg_id", pc.negate(t.column("event_id"))))
+
+    kept = ops.exact_dedup(
+        ds.map_batches(order_cols, batch_format="pyarrow"),
+        keys=["user_id"], order_by=["neg_ts", "neg_id"],
+    )
+    return kept.drop_columns(["neg_ts", "neg_id"])
+
+
+_LATEST_EVENT_SQL = """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn FROM events
+    ) WHERE rn = 1
+"""
+
+
+def export_documents_partitioned(sf_dir: str):
+    """Partitioned-sink round trip: write the corpus as hive-partitioned
+    parquet (one directory per lang — the resumable-output layout the
+    crawl sinks use: a failed run re-lists finished partitions and
+    skips them), read it BACK through partition discovery, and return
+    per-lang row counts computed from the read-back — so the green row
+    certifies the sink layout, not just the source counts."""
+    out_dir = os.path.join(
+        "/tmp/spider_ray_export",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    ds.write_parquet(out_dir, partition_cols=["lang"])
+
+    back = ray.data.read_parquet(out_dir)
+
+    def pre(t: pa.Table) -> pa.Table:
+        # partition discovery may hand lang back dictionary-encoded
+        return pa.table({"lang": t.column("lang").cast(pa.string())})
+
+    return ops.partial_sum_agg(
+        back, pre=pre, keys=["lang"], sums={}, counts="n_rows",
+        bounded=True,  # |langs| rows
+    )
+
+
+_EXPORT_PARTITIONED_SQL = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY lang
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "revenue_cube_flag_status": """
         SELECT l_returnflag, l_linestatus,
@@ -1295,6 +1366,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem GROUP BY 1
     """,
     "zscore_chars_by_lang": _ZSCORE_SQL,
+    "latest_event_per_user": _LATEST_EVENT_SQL,
+    "export_documents_partitioned": _EXPORT_PARTITIONED_SQL,
 }
 
 QUERIES = {
@@ -1312,6 +1385,8 @@ QUERIES = {
     "supplier_price_stats": supplier_price_stats,
     "corr_qty_price_by_flag": corr_qty_price_by_flag,
     "zscore_chars_by_lang": zscore_chars_by_lang,
+    "latest_event_per_user": latest_event_per_user,
+    "export_documents_partitioned": export_documents_partitioned,
     "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,
     "orders_by_month": orders_by_month,
