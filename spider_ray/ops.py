@@ -166,7 +166,19 @@ def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | Non
         return out.repartition(1).map_batches(
             combine_final, batch_size=None, batch_format="pyarrow"
         )
-    return partials.sort(keys).map_batches(
+    # coalesce the partials before the range partition (exact_dedup's
+    # rationale): per-batch combiners emit many SMALL blocks (<= |keys
+    # in batch| rows each), and a sort whose partition count tracks
+    # that block count mints empty partitions whenever partitions ~
+    # distinct keys — empty partitions emit schema-less blocks (the
+    # RefBundle-warning condition, seen on unigram_lm's term domain in
+    # the r4 bench tail).  An identity map with a large batch_size
+    # bundles them without an all-to-all, so partition count tracks
+    # partial-row volume instead.
+    coalesced = partials.map_batches(
+        lambda t: t, batch_size=65536, batch_format="pyarrow"
+    )
+    return coalesced.sort(keys).map_batches(
         combine_final, batch_size=None, batch_format="pyarrow"
     )
 

@@ -1046,6 +1046,55 @@ _ZSCORE_SQL = """
 """
 
 
+def docs_above_lang_median(sf_dir: str):
+    """Quantile-gated filtering — the CCNet/C4 'keep the better half
+    per language' selection: docs whose n_chars strictly exceeds their
+    language's exact discrete median.  Composition of two existing
+    scale shapes: the per-group histogram median (median_price_by_flag)
+    to get |langs| threshold rows, collected bounded and shipped back
+    in the closure, then a shuffle-free vectorized filter pass — the
+    corpus is read, never joined."""
+    ds = ops.read_table(sf_dir, "documents",
+                        columns=["doc_id", "lang", "n_chars"])
+    hist = ops.partial_sum_agg(
+        ds, keys=["lang", "n_chars"], sums={}, counts="c", bounded=False,
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("n_chars", kind="mergesort")
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        idx = (n + 1) // 2 - 1  # quantile_disc(0.5)
+        pos = int(np.searchsorted(np.cumsum(c), idx + 1))
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "m": np.array([g["n_chars"].iloc[pos]],
+                                           np.int64)})
+
+    med_rows = hist.groupby("lang").map_groups(
+        pick, batch_format="pandas").take_all()
+    meds = {r["lang"]: int(r["m"]) for r in med_rows}  # |langs| entries
+
+    def keep(t: pa.Table) -> pa.Table:
+        enc = t.column("lang").combine_chunks().dictionary_encode()
+        thr = np.array([meds[u] for u in enc.dictionary.to_pylist()],
+                       np.int64)[enc.indices.to_numpy(zero_copy_only=False)]
+        mask = t.column("n_chars").to_numpy(zero_copy_only=False) > thr
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_ABOVE_MEDIAN_SQL = """
+    WITH med AS (
+      SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS m
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN med USING (lang)
+    WHERE d.n_chars > med.m
+"""
+
+
 def latest_event_per_user(sf_dir: str):
     """Log compaction (SCD-1 / CDC upsert shape): each user's LATEST
     full event row, ordered by (ts DESC, event_id DESC).  Same
@@ -1367,6 +1416,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "zscore_chars_by_lang": _ZSCORE_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
+    "docs_above_lang_median": _ABOVE_MEDIAN_SQL,
     "export_documents_partitioned": _EXPORT_PARTITIONED_SQL,
 }
 
@@ -1386,6 +1436,7 @@ QUERIES = {
     "corr_qty_price_by_flag": corr_qty_price_by_flag,
     "zscore_chars_by_lang": zscore_chars_by_lang,
     "latest_event_per_user": latest_event_per_user,
+    "docs_above_lang_median": docs_above_lang_median,
     "export_documents_partitioned": export_documents_partitioned,
     "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,
