@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray.data
 
 from spider_ray import ops
 
@@ -204,13 +205,120 @@ def copurchase_pairs(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
     ).sort(["p1", "p2"])
 
 
+def triangle_count_copurchase(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
+    """Exact triangle count on the co-purchase graph — the classic
+    degree-ordered distributed algorithm (each triangle is counted at
+    exactly ONE vertex: its minimum in the (degree, id) total order,
+    so no post-hoc dividing by 3/6 and no double counting).
+
+    Scale shape: edges come from the basket-bounded copurchase kernel;
+    degrees are a combiner aggregate; two co-partitioned joins attach
+    (d1, d2); wedges are generated per source INSIDE its range
+    partition with work bounded by the ORIENTED out-degree (<=
+    O(sqrt(m)) under degree ordering — the hub-node guard that id
+    ordering lacks); the wedge->edge membership check is one more
+    co-partitioned join on a packed (lo<<32|hi) key.  Nothing is ever
+    all-pairs in the node count, and the only driver-side value is the
+    final scalar count."""
+    edges = copurchase_pairs(sf_dir, min_count).select_columns(["p1", "p2"])
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        p1 = t.column("p1").to_numpy(zero_copy_only=False)
+        p2 = t.column("p2").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.r_[p1, p2]),
+            "one": pa.array(np.ones(2 * len(t), np.int64)),
+        })
+
+    deg = ops.partial_sum_agg(
+        edges.map_batches(both_ends, batch_format="pyarrow"),
+        keys=["node"], sums={"one": "d"}, counts=None,
+        bounded=False,  # node domain is data-sized
+    )
+    d1 = deg.map_batches(
+        lambda t: t.rename_columns(["p1", "d1"]), batch_format="pyarrow")
+    d2 = deg.map_batches(
+        lambda t: t.rename_columns(["p2", "d2"]), batch_format="pyarrow")
+    e2 = ops.partitioned_hash_join(
+        ops.partitioned_hash_join(edges, d1, on="p1"), d2, on="p2")
+
+    def orient(t: pa.Table) -> pa.Table:
+        p1 = t.column("p1").to_numpy(zero_copy_only=False)
+        p2 = t.column("p2").to_numpy(zero_copy_only=False)
+        dd1 = t.column("d1").to_numpy(zero_copy_only=False)
+        dd2 = t.column("d2").to_numpy(zero_copy_only=False)
+        first = (dd1 < dd2) | ((dd1 == dd2) & (p1 < p2))
+        return pa.table({
+            "src": pa.array(np.where(first, p1, p2)),
+            "dst": pa.array(np.where(first, p2, p1)),
+        })
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["src", "dst"], kind="mergesort")
+        s = df["src"].to_numpy(np.int64)
+        d = df["dst"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        ends = np.r_[starts[1:], len(s)]
+        ks: list[int] = []
+        # per-source combination loop: bounded by the ORIENTED
+        # out-degree (the degree-ordering contract), not by data volume
+        for a, b in zip(starts, ends):
+            nb = d[a:b]
+            for i in range(len(nb) - 1):
+                for j in range(i + 1, len(nb)):
+                    lo, hi = int(nb[i]), int(nb[j])
+                    if lo > hi:
+                        lo, hi = hi, lo
+                    ks.append((lo << 32) | hi)
+        return pd.DataFrame({"k": np.array(ks, np.int64)})
+
+    wedge_keys = (
+        oriented.repartition(ops.cluster_parts())
+        .sort("src")
+        .map_batches(wedges, batch_size=None, batch_format="pandas")
+    )
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        p1 = t.column("p1").to_numpy(zero_copy_only=False)
+        p2 = t.column("p2").to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array((p1.astype(np.int64) << 32)
+                                       | p2.astype(np.int64)),
+                         "hit": pa.array(np.ones(len(t), np.int64))})
+
+    closed = ops.partitioned_hash_join(
+        wedge_keys, edges.map_batches(edge_keys, batch_format="pyarrow"),
+        on="k")
+    n = closed.count()
+    return ray.data.from_arrow(
+        pa.table({"n_triangles": pa.array([n], pa.int64())}))
+
+
+_TRIANGLE_SQL = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_COUNT}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.p1 = e1.p1 AND e2.p2 > e1.p2
+    JOIN e e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+"""
+
+
 GRAPH_QUERIES = {
+    "triangle_count_copurchase": triangle_count_copurchase,
     "pagerank_order_part": pagerank_order_part,
     "degree_distribution": degree_distribution,
     "copurchase_pairs": copurchase_pairs,
 }
 
 GRAPH_ORACLE_SQL = {
+    "triangle_count_copurchase": _TRIANGLE_SQL,
     "pagerank_order_part": _pagerank_sql(),
     "degree_distribution": """
         WITH e0 AS (

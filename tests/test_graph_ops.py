@@ -52,3 +52,35 @@ def test_component_label_is_global_min(ray_session):
     # member gets the GLOBAL min of the component, not a local min
     labels = _cc([(100, 50), (100, 60), (60, 2)], [2, 50, 60, 100])
     assert labels == {2: 2, 50: 2, 60: 2, 100: 2}
+
+
+def test_triangle_count_clique_and_star(ray_session, tmp_path):
+    """A 4-clique has exactly C(4,3)=4 triangles; a star has none.
+    Each triangle must be counted exactly once (at its (degree, id)-
+    minimum vertex), never 3x or 6x."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.graph import triangle_count_copurchase
+
+    rows = []
+    okey = 0
+    # 4-clique over parts 1..4: the full basket twice -> every pair
+    # reaches min_count=2
+    for _ in range(2):
+        okey += 1
+        rows += [(okey, p) for p in (1, 2, 3, 4)]
+    # star around 10: edges (10,11), (10,12) only — no triangle
+    for other in (11, 12):
+        for _ in range(2):
+            okey += 1
+            rows += [(okey, 10), (okey, other)]
+    t = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    sf = str(tmp_path / "sf_tri")
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(t, f"{sf}/lineitem.parquet")
+
+    out = triangle_count_copurchase(sf).take_all()
+    assert out == [{"n_triangles": 4}]

@@ -149,3 +149,41 @@ def test_ngram_jaccard_identical_docs(ray_session, tmp_path):
     df = ngram_jaccard_pairs(str(tmp_path)).to_pandas()
     assert df[["a_id", "b_id"]].values.tolist() == [[1, 2]]
     assert df["jaccard_e6"].tolist() == [1_000_000]
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    """A click BEFORE the signup must not advance the funnel, and a
+    purchase between signup and click must not count either — strict
+    milestone progression."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.window import funnel_signup_click_purchase
+
+    ts = pd.Timestamp("2025-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, ts + 0 * h, 1, "signup"), (2, ts + 1 * h, 1, "click"),
+        (3, ts + 2 * h, 1, "purchase"),
+        # user 2: click BEFORE signup, purchase after -> stops at step 1
+        (4, ts + 0 * h, 2, "click"), (5, ts + 1 * h, 2, "signup"),
+        (6, ts + 2 * h, 2, "purchase"),
+        # user 3: purchase BETWEEN signup and click -> stops at step 2
+        (7, ts + 0 * h, 3, "signup"), (8, ts + 1 * h, 3, "purchase"),
+        (9, ts + 2 * h, 3, "click"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    sf = str(tmp_path / "sf_funnel")
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(t, f"{sf}/events.parquet")
+
+    out = {r["step"]: r["users"]
+           for r in funnel_signup_click_purchase(sf).take_all()}
+    assert out == {1: 3, 2: 2, 3: 1}
