@@ -532,10 +532,10 @@ class CrawlDriver:
                     partial(stages.add_sel_slice, n_slices=self.sel_slices),
                     batch_format="pyarrow",
                 )
-                .groupby("sel_part")
-                .map_groups(
+                .sort("part_key")
+                .map_batches(
                     partial(stages.local_select_rank, cfg_ref=cfg_ref),
-                    batch_format="pandas",
+                    batch_size=None, batch_format="pandas",
                 )
                 .map_batches(_strip_md, batch_format="pyarrow")
                 .materialize()

@@ -217,42 +217,39 @@ def candidate_group(
 # execution 2: two-level budget selection (T4/O2 + A.8 salting)
 # ---------------------------------------------------------------------------
 
-SEL_PARTS = 32  # hash partitions for the phase-A shuffle
-
-
 def add_sel_slice(batch: pa.Table, n_slices: int) -> pa.Table:
     """part_key = domain#(h64 % S): every domain pre-split into S fixed
     hash slices, so a hot domain never concentrates in one partition
-    and no pre-count shuffle is needed (uniform A.8).  sel_part =
-    hash(part_key) % SEL_PARTS is the actual shuffle key: phase A
-    groups by the PARTITION and ranks all of its part_keys vectorized
-    — a map_groups per part_key paid ~1-2 ms of pandas overhead for
-    each of domains x S groups per round, the dominant per-round cost
-    of small crawls (measured 1.5-4 s/round at bench scale)."""
+    and no pre-count shuffle is needed (uniform A.8).  part_key is also
+    the phase-A shuffle key directly: range-partitioning on the real
+    high-cardinality key (domains x S values) keeps every partition
+    nonempty — the earlier dense hash(part_key) % 32 coarsening put ~32
+    distinct values under ~32 sort partitions, so boundary sampling
+    routinely tied and minted EMPTY partitions (schema-less blocks, the
+    RefBundle warning) — while local_select_rank still ranks a whole
+    PARTITION of part_keys per call, so the per-group pandas overhead
+    (1-2 ms x domains x S, the dominant cost of small crawls) stays
+    amortized exactly as before."""
     domains = batch.column("domain").to_pylist()
     h = batch.column("url_hash64").to_numpy(zero_copy_only=False)
     keys = [f"{d}#{int(x) % n_slices}" for d, x in zip(domains, h)]
-    part = (
-        pd.util.hash_array(np.array(keys, dtype=object))
-        % np.uint64(SEL_PARTS)
-    ).astype(np.int32)
-    batch = batch.append_column("part_key", pa.array(keys, pa.string()))
-    return batch.append_column("sel_part", pa.array(part))
+    return batch.append_column("part_key", pa.array(keys, pa.string()))
 
 
 def local_select_rank(df: pd.DataFrame, cfg_ref) -> pd.DataFrame:
-    """Rank every (domain, slice) group of one hash partition by the
+    """Rank every (domain, slice) group of one range partition by the
     pinned priority key (depth, seq, url); within each part_key the
     first budget(domain) rows are local winners.  One vectorized
     sort + cumcount over the whole partition — numerically identical
-    to ranking each part_key group separately."""
+    to ranking each part_key group separately (ray's range partition
+    never splits equal part_keys, so every group is complete here)."""
     cfg = get_cfg(cfg_ref)
     g = df.sort_values(["part_key", "depth", "seq", "url"],
                        kind="mergesort").copy()
     g["rank"] = g.groupby("part_key", sort=False).cumcount().astype("int64")
     budgets = {d: cfg.budget(d) for d in g["domain"].unique()}
     g["lsel"] = g["rank"] < g["domain"].map(budgets)
-    return g.drop(columns=["sel_part"])
+    return g
 
 
 def merge_select_group(group: pd.DataFrame, cfg_ref) -> pd.DataFrame:
