@@ -205,6 +205,77 @@ def copurchase_pairs(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
     ).sort(["p1", "p2"])
 
 
+def basket_rules_lift(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
+    """Association-rule mining over the co-purchase pairs: per pair,
+    support count, both directed confidences, and lift — all in e6
+    fixed point from exact integer counts (lift_e6 = 1e6 * N * c_xy
+    // (c_x * c_y); every operand positive, so numpy floor division
+    and DuckDB's truncating ``//`` agree).
+
+    Scale shape: basket-bounded pair generation (copurchase kernel),
+    item supports from ONE distinct-(order,item) dedup + combiner
+    pass, the basket total N as a bounded scalar, and two
+    co-partitioned joins to attach c_x / c_y — no stage touches the
+    cross product of items."""
+    pairs = copurchase_pairs(sf_dir, min_count)
+    li = ops.read_table(sf_dir, "lineitem",
+                        columns=["l_orderkey", "l_partkey"])
+    items = ops.exact_dedup(li, keys=["l_orderkey", "l_partkey"],
+                            order_by=["l_orderkey", "l_partkey"])
+    ic = ops.partial_sum_agg(items, keys=["l_partkey"], sums={},
+                             counts="c", bounded=False)
+    n_baskets = ops.partial_sum_agg(
+        items.select_columns(["l_orderkey"]), keys=["l_orderkey"],
+        sums={}, counts="one", bounded=False,
+    ).count()
+
+    c1 = ic.map_batches(lambda t: t.rename_columns(["p1", "c1"]),
+                        batch_format="pyarrow")
+    c2 = ic.map_batches(lambda t: t.rename_columns(["p2", "c2"]),
+                        batch_format="pyarrow")
+    joined = ops.partitioned_hash_join(
+        ops.partitioned_hash_join(pairs, c1, on="p1"), c2, on="p2")
+
+    def rules(t: pa.Table) -> pa.Table:
+        nxy = t.column("n_orders").to_numpy(zero_copy_only=False)
+        cx = t.column("c1").to_numpy(zero_copy_only=False)
+        cy = t.column("c2").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p1": t.column("p1"), "p2": t.column("p2"),
+            "n_orders": t.column("n_orders"),
+            "lift_e6": pa.array(1_000_000 * n_baskets * nxy // (cx * cy)),
+            "conf_p1_to_p2_e6": pa.array(1_000_000 * nxy // cx),
+            "conf_p2_to_p1_e6": pa.array(1_000_000 * nxy // cy),
+        })
+
+    return joined.map_batches(rules, batch_format="pyarrow")\
+                 .sort(["p1", "p2"])
+
+
+_BASKET_RULES_SQL = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+           FROM items GROUP BY 1),
+    e AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_COUNT}
+    )
+    SELECT e.p1, e.p2, e.n_orders,
+           CAST(1000000 * (SELECT n FROM nb) * e.n_orders
+                // (c1.c * c2.c) AS BIGINT) AS lift_e6,
+           CAST(1000000 * e.n_orders // c1.c AS BIGINT)
+               AS conf_p1_to_p2_e6,
+           CAST(1000000 * e.n_orders // c2.c AS BIGINT)
+               AS conf_p2_to_p1_e6
+    FROM e JOIN ic c1 ON c1.l_partkey = e.p1
+           JOIN ic c2 ON c2.l_partkey = e.p2
+"""
+
+
 def triangle_count_copurchase(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
     """Exact triangle count on the co-purchase graph — the classic
     degree-ordered distributed algorithm (each triangle is counted at
@@ -311,6 +382,7 @@ _TRIANGLE_SQL = f"""
 
 
 GRAPH_QUERIES = {
+    "basket_rules_lift": basket_rules_lift,
     "triangle_count_copurchase": triangle_count_copurchase,
     "pagerank_order_part": pagerank_order_part,
     "degree_distribution": degree_distribution,
@@ -318,6 +390,7 @@ GRAPH_QUERIES = {
 }
 
 GRAPH_ORACLE_SQL = {
+    "basket_rules_lift": _BASKET_RULES_SQL,
     "triangle_count_copurchase": _TRIANGLE_SQL,
     "pagerank_order_part": _pagerank_sql(),
     "degree_distribution": """
