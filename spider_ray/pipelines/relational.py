@@ -1095,6 +1095,89 @@ _ABOVE_MEDIAN_SQL = """
 """
 
 
+MAD_K = 2  # 3x MAD is vacuous on this corpus (uniform-ish lengths: max dev ~2x MAD)
+
+
+def mad_outliers_chars_by_lang(sf_dir: str, k_mad: int = MAD_K):
+    """Robust outlier detection: docs whose |n_chars - median(lang)|
+    exceeds ``k_mad`` x the language's MEDIAN ABSOLUTE DEVIATION — the
+    length-anomaly filter that survives the skewed tails a stddev rule
+    drowns in.  Entirely integer-exact: both medians are
+    quantile_disc(0.5) picks from count histograms, the deviation is
+    int64, and the gate is an integer comparison (no float, no sqrt).
+
+    Scale shape: two bounded histogram passes (the per-group median
+    kernel of median_price_by_flag, run on n_chars and then on the
+    deviations), each ending in a |langs|-row driver collect shipped
+    back in the closure; the final filter pass is shuffle-free."""
+    ds = ops.read_table(sf_dir, "documents",
+                        columns=["doc_id", "lang", "n_chars"])
+
+    def _hist_median(rows_ds, val_col: str) -> dict[str, int]:
+        hist = ops.partial_sum_agg(rows_ds, keys=["lang", val_col],
+                                   sums={}, counts="c", bounded=False)
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(val_col, kind="mergesort")
+            c = g["c"].to_numpy(np.int64)
+            n = int(c.sum())
+            idx = (n + 1) // 2 - 1  # quantile_disc(0.5)
+            pos = int(np.searchsorted(np.cumsum(c), idx + 1))
+            return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                                 "m": np.array([g[val_col].iloc[pos]],
+                                               np.int64)})
+
+        rows = hist.groupby("lang").map_groups(
+            pick, batch_format="pandas").take_all()
+        return {r["lang"]: int(r["m"]) for r in rows}  # |langs| entries
+
+    med = _hist_median(ds, "n_chars")
+
+    def dev_rows(t: pa.Table) -> pa.Table:
+        enc = t.column("lang").combine_chunks().dictionary_encode()
+        m = np.array([med[u] for u in enc.dictionary.to_pylist()],
+                     np.int64)[enc.indices.to_numpy(zero_copy_only=False)]
+        x = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({"lang": t.column("lang"),
+                         "dev": pa.array(np.abs(x - m))})
+
+    mad = _hist_median(ds.map_batches(dev_rows, batch_format="pyarrow"),
+                       "dev")
+
+    def keep(t: pa.Table) -> pa.Table:
+        enc = t.column("lang").combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        m = np.array([med[u] for u in uniq], np.int64)[idx]
+        d = np.array([mad[u] for u in uniq], np.int64)[idx]
+        x = t.column("n_chars").to_numpy(zero_copy_only=False)
+        dev = np.abs(x - m)
+        t = t.append_column("dev", pa.array(dev))
+        return t.filter(pa.array(dev > k_mad * d))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_MAD_OUTLIERS_SQL = f"""
+    WITH med AS (
+      SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS m
+      FROM documents GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             CAST(abs(d.n_chars - med.m) AS BIGINT) AS dev
+      FROM documents d JOIN med USING (lang)
+    ),
+    mad AS (
+      SELECT lang, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+      FROM dev GROUP BY lang
+    )
+    SELECT dev.doc_id, dev.lang, dev.n_chars, dev.dev
+    FROM dev JOIN mad USING (lang)
+    WHERE dev.dev > {MAD_K} * mad.mad
+"""
+
+
 def latest_event_per_user(sf_dir: str):
     """Log compaction (SCD-1 / CDC upsert shape): each user's LATEST
     full event row, ordered by (ts DESC, event_id DESC).  Same
@@ -1417,6 +1500,7 @@ ORACLE_SQL: dict[str, str] = {
     "zscore_chars_by_lang": _ZSCORE_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
     "docs_above_lang_median": _ABOVE_MEDIAN_SQL,
+    "mad_outliers_chars_by_lang": _MAD_OUTLIERS_SQL,
     "export_documents_partitioned": _EXPORT_PARTITIONED_SQL,
 }
 
@@ -1437,6 +1521,7 @@ QUERIES = {
     "zscore_chars_by_lang": zscore_chars_by_lang,
     "latest_event_per_user": latest_event_per_user,
     "docs_above_lang_median": docs_above_lang_median,
+    "mad_outliers_chars_by_lang": mad_outliers_chars_by_lang,
     "export_documents_partitioned": export_documents_partitioned,
     "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,

@@ -635,7 +635,65 @@ _EVENT_PATH_SQL = """
 """
 
 
+COHORT_BUCKET_US = 86400 * 1_000_000  # day buckets: the fixture spans ~30 days, so days give a real multi-cohort matrix where weeks collapse to one cohort
+
+
+def retention_cohorts(sf_dir: str):
+    """Retention cohort matrix: users bucketed by their FIRST-activity
+    day (the cohort), counted in every day they were active — the
+    table behind every retention curve.  Integer-exact bucket ids
+    (epoch_us // COHORT_BUCKET_US, all positive).
+
+    Scale shape: events collapse to distinct (user, week) rows in one
+    combiner pass (the shuffle moves pairs, not events); per-user
+    cohort is a min-algebra combiner over those pairs; ONE co-partition
+    join attaches the cohort; the final count is a week x week
+    key-domain-bounded combine."""
+    ds = ops.read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_weeks(t: pa.Table) -> pa.Table:
+        wk = pc.divide(t.column("ts").cast(pa.int64()), COHORT_BUCKET_US)
+        return pa.table({"user_id": t.column("user_id"), "week": wk})
+
+    uw = ops.partial_sum_agg(
+        ds.map_batches(to_weeks, batch_format="pyarrow"),
+        keys=["user_id", "week"], sums={}, counts="c", bounded=False,
+    ).drop_columns(["c"])
+    coh = ops.partial_sum_agg(
+        uw, keys=["user_id"], sums={}, counts=None,
+        mins={"week": "cohort_day"}, bounded=False,
+    )
+    joined = ops.partitioned_hash_join(uw, coh, on="user_id")
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({"cohort_day": t.column("cohort_day"),
+                         "activity_day": t.column("week")})
+
+    return ops.partial_sum_agg(
+        joined, pre=pre, keys=["cohort_day", "activity_day"], sums={},
+        counts="users", bounded=True,  # |weeks|^2 rows
+    )
+
+
+_RETENTION_SQL = f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // {COHORT_BUCKET_US} AS week
+      FROM events
+    ),
+    coh AS (
+      SELECT user_id, MIN(week) AS cohort_day FROM uw GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+           CAST(u.week AS BIGINT) AS activity_day,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM uw u JOIN coh c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
 WINDOW_QUERIES = {
+    "retention_cohorts": retention_cohorts,
     "event_path_per_user": event_path_per_user,
     "funnel_signup_click_purchase": funnel_signup_click_purchase,
     "sessionize_events": sessionize_events,
@@ -653,6 +711,7 @@ WINDOW_QUERIES = {
 }
 
 WINDOW_ORACLE_SQL = {
+    "retention_cohorts": _RETENTION_SQL,
     "event_path_per_user": _EVENT_PATH_SQL,
     "funnel_signup_click_purchase": _FUNNEL_SQL,
     "event_next_type_lead": """
