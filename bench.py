@@ -97,6 +97,12 @@ QUERY_NAMES = [
     "funnel_signup_click_purchase",
     "edit_distance_pairs",
     "snapshot_diff_documents",
+    "basket_rules_lift",
+    "triangle_count_copurchase",
+    "retention_cohorts",
+    "event_path_per_user",
+    "latest_event_per_user",
+    "mad_outliers_chars_by_lang",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

@@ -66,7 +66,8 @@ def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | Non
                     pre=None, final_parts: int | None = None,
                     bounded: bool = True,
                     mins: dict[str, str] | None = None,
-                    maxs: dict[str, str] | None = None):
+                    maxs: dict[str, str] | None = None,
+                    unmerged: bool = False):
     """SUM/COUNT/MIN/MAX groupby with per-batch pre-aggregation.
 
     ``sums``/``mins``/``maxs`` map source column -> output name;
@@ -153,6 +154,14 @@ def partial_sum_agg(ds, keys: list[str], sums: dict[str, str], counts: str | Non
         rename = {f"{c}_{final_fn[c]}": c for c in val_cols}
         out = out.rename_columns([rename.get(c, c) for c in out.column_names])
         return out.select(keys + val_cols)
+
+    if unmerged:
+        # agg->join fusion: when the NEXT stage co-partitions on the
+        # same keys (partitioned_hash_join's left_pre), merging here
+        # would pay a sort shuffle the join immediately repeats.  Hand
+        # back the per-batch partials plus the final-combine kernel so
+        # the join's single shuffle does both.
+        return partials, combine_final
 
     if bounded:
         out = partials
@@ -345,7 +354,8 @@ def bloom_semi_join(left, right, on: str, m_bits: int = 1 << 20,
 
 
 def partitioned_hash_join(
-    left, right, on: str, n_buckets: int = 32, how: str = "inner"
+    left, right, on: str, n_buckets: int = 32, how: str = "inner",
+    left_pre=None,
 ):
     """Both-sides-large join: explicit co-partitioned join.
 
@@ -420,6 +430,13 @@ def partitioned_hash_join(
 
     def join_block(g: pa.Table) -> pa.Table:
         l = g.filter(pc.equal(g.column("__side"), 0)).select(left_cols)
+        if left_pre is not None:
+            # agg->join fusion (partial_sum_agg(unmerged=True)): the
+            # left side arrives as per-batch partials; every partial of
+            # a key is in THIS partition (range partition on the same
+            # key), so the final combine runs here, inside the join's
+            # shuffle instead of its own.
+            l = left_pre(l)
         r = g.filter(pc.equal(g.column("__side"), 1)).select(right_cols)
         return l.join(r, keys=[on], join_type=arrow_how).select(all_cols)
 

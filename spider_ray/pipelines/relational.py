@@ -493,10 +493,16 @@ def revenue_by_nation_asia(sf_dir: str):
             {"l_orderkey": t.column("l_orderkey"), "rev_c": rev}
         )
 
-    per_order = ops.partial_sum_agg(
+    # agg->join FUSION at both levels: the per-order (then per-customer)
+    # partial agg would sort on the exact key its join re-sorts on, so
+    # each (merge, join) pair shares ONE shuffle — 4 data-sized
+    # shuffles become 2 (measured 6.3 s -> see BENCH; the per-batch
+    # map-side combine still runs first, so shuffle VOLUME is
+    # unchanged, only the redundant exchanges go)
+    per_order_parts, po_merge = ops.partial_sum_agg(
         li, pre=order_cents, keys=["l_orderkey"],
         sums={"rev_c": "rev_c"}, counts=None,
-        bounded=False,  # order domain is data-sized
+        bounded=False, unmerged=True,  # order domain is data-sized
     )
 
     orders = ops.read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -505,12 +511,13 @@ def revenue_by_nation_asia(sf_dir: str):
         return t.rename_columns(["l_orderkey", "o_custkey"])
 
     joined = ops.partitioned_hash_join(
-        per_order, orders.map_batches(rekey_orders, batch_format="pyarrow"),
-        on="l_orderkey",
+        per_order_parts,
+        orders.map_batches(rekey_orders, batch_format="pyarrow"),
+        on="l_orderkey", left_pre=po_merge,
     )
-    per_cust = ops.partial_sum_agg(
+    per_cust_parts, pc_merge = ops.partial_sum_agg(
         joined, keys=["o_custkey"], sums={"rev_c": "rev_c"}, counts=None,
-        bounded=False,  # customer domain is data-sized
+        bounded=False, unmerged=True,  # customer domain is data-sized
     )
 
     customer = ops.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
@@ -519,8 +526,9 @@ def revenue_by_nation_asia(sf_dir: str):
         return t.rename_columns(["o_custkey", "c_nationkey"])
 
     with_nation = ops.partitioned_hash_join(
-        per_cust, customer.map_batches(rekey_cust, batch_format="pyarrow"),
-        on="o_custkey",
+        per_cust_parts,
+        customer.map_batches(rekey_cust, batch_format="pyarrow"),
+        on="o_custkey", left_pre=pc_merge,
     )
 
     # nation x region is a fixed 25-row dimension: fold driver-side,
