@@ -51,3 +51,41 @@ def test_minmax_without_sums(ray_session):
     )
     got = {r["k"]: (r["lo"], r["hi"]) for r in out.take_all()}
     assert got == {1: (-3, 5), 2: (9, 9)}
+
+
+def test_agg_join_fusion_matches_unfused(ray_session):
+    """partial_sum_agg(unmerged=True) + partitioned_hash_join(left_pre)
+    must equal the unfused agg-then-join, for every key — including
+    keys absent from one side."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.arange(1000)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array((rng * 7) % 53, pa.int64()),
+        "v": pa.array(rng, pa.int64()),
+    })).repartition(7)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(60), pa.int64()),
+        "w": pa.array(np.arange(60) * 10, pa.int64()),
+    })).repartition(3)
+
+    from spider_ray import ops
+
+    parts, merge = ops.partial_sum_agg(
+        left, keys=["k"], sums={"v": "s"}, counts="n",
+        bounded=False, unmerged=True)
+    fused = ops.partitioned_hash_join(
+        parts, right, on="k", left_pre=merge).to_pandas()
+
+    agg = ops.partial_sum_agg(left, keys=["k"], sums={"v": "s"},
+                              counts="n", bounded=False)
+    unfused = ops.partitioned_hash_join(agg, right, on="k").to_pandas()
+
+    key = ["k", "s", "n", "w"]
+    a = fused[key].sort_values(key).reset_index(drop=True)
+    b = unfused[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 53  # inner join keeps only keys present on both sides
