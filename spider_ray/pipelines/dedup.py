@@ -1383,6 +1383,43 @@ def _levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
     return prev[:, m]
 
 
+def _edit_base_aug(sf_dir: str):
+    """The (doc_id, 40-char prefix) table both edit-distance operators
+    work over: English docs long enough for a full prefix, plus the
+    EDIT_PLANTED 2-substitution twins of the smallest doc_ids (found by
+    a per-batch top-k so the driver collect stays bounded)."""
+    docs = ops.read_table(sf_dir, "documents",
+                          columns=["doc_id", "text", "lang", "n_chars"])
+
+    def base(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.equal(t.column("lang"), "en"),
+            pc.greater_equal(t.column("n_chars"), EDIT_PREFIX_LEN)))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "p": pc.utf8_slice_codeunits(t.column("text"), 0,
+                                         EDIT_PREFIX_LEN),
+        })
+
+    ds = docs.map_batches(base, batch_format="pyarrow")
+
+    def smallest(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:EDIT_PLANTED]
+        return t.take(pa.array(order, pa.int64()))
+
+    seed_rows = ds.map_batches(smallest, batch_format="pyarrow").take_all()
+    seed_rows.sort(key=lambda r: int(r["doc_id"]))
+    seed_rows = seed_rows[:EDIT_PLANTED]
+    planted = pa.table({
+        "doc_id": pa.array(
+            [int(r["doc_id"]) + EDIT_PLANT_BASE for r in seed_rows],
+            pa.int64()),
+        "p": pa.array([_edit_plant(str(r["p"])) for r in seed_rows]),
+    })
+    return ds.union(ray.data.from_arrow(planted))
+
+
 def edit_distance_pairs_documents(sf_dir: str,
                                   max_dist: int = EDIT_MAX_DIST):
     """Edit-distance similarity join over the 40-char English document
@@ -1405,38 +1442,7 @@ def edit_distance_pairs_documents(sf_dir: str,
     (bucket sizes are prefix-frequency bounded: max 7 at sf0.1), are
     pair-deduped by one exact_dedup, and only then hit the 40x40
     batched DP verifier.  No stage is O(n^2) in the corpus."""
-    docs = ops.read_table(sf_dir, "documents",
-                          columns=["doc_id", "text", "lang", "n_chars"])
-
-    def base(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(
-            pc.equal(t.column("lang"), "en"),
-            pc.greater_equal(t.column("n_chars"), EDIT_PREFIX_LEN)))
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "p": pc.utf8_slice_codeunits(t.column("text"), 0,
-                                         EDIT_PREFIX_LEN),
-        })
-
-    ds = docs.map_batches(base, batch_format="pyarrow")
-
-    # planted twins: per-batch top-k keeps the driver collect bounded
-    def smallest(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")[:EDIT_PLANTED]
-        return t.take(pa.array(order, pa.int64()))
-
-    seed_rows = ds.map_batches(smallest, batch_format="pyarrow").take_all()
-    seed_rows.sort(key=lambda r: int(r["doc_id"]))
-    seed_rows = seed_rows[:EDIT_PLANTED]
-    planted = pa.table({
-        "doc_id": pa.array(
-            [int(r["doc_id"]) + EDIT_PLANT_BASE for r in seed_rows],
-            pa.int64()),
-        "p": pa.array([_edit_plant(str(r["p"])) for r in seed_rows]),
-    })
-    ds = ds.union(ray.data.from_arrow(planted))
-
+    ds = _edit_base_aug(sf_dir)
     d = max_dist
 
     def keys(t: pa.Table) -> pa.Table:
@@ -1527,6 +1533,89 @@ _EDIT_PAIRS_SQL = f"""
            CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
     FROM aug a JOIN aug b ON a.doc_id < b.doc_id
     WHERE levenshtein(a.p, b.p) <= {EDIT_MAX_DIST}
+"""
+
+
+def entity_clusters_edit_distance(sf_dir: str):
+    """Entity resolution end-to-end: blocking + pairwise matching via
+    the PassJoin edit-distance join, then distributed connected
+    components to transitively close the match graph — each doc gets a
+    cluster id (the component's min doc_id), its cluster size, and a
+    canonical flag.  The composition proves the two primitives share
+    one data model: the pair table feeds ops.connected_components
+    unchanged.
+
+    Scale shape: inherits the join's (no self-join, bounded buckets)
+    and cc's (min-label propagation, (node,label) rows only) shapes;
+    cluster sizes are one combiner pass over the labels."""
+    edges = edit_distance_pairs_documents(sf_dir).select_columns(
+        ["doc_a", "doc_b"])
+    nodes = _edit_base_aug(sf_dir).select_columns(["doc_id"])
+    labels = ops.connected_components(
+        edges, nodes, src="doc_a", dst="doc_b", node_col="doc_id")
+
+    sizes = ops.partial_sum_agg(
+        labels, keys=["label"], sums={}, counts="cluster_size",
+        bounded=False,
+    ).map_batches(
+        lambda t: t.rename_columns(["label", "cluster_size"]),
+        batch_format="pyarrow",
+    )
+    out = ops.partitioned_hash_join(labels, sizes, on="label")
+
+    def finish(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(node),
+            "cluster_id": pa.array(lab),
+            "cluster_size": t.column("cluster_size"),
+            "is_canonical": pa.array((node == lab).astype(np.int64)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+_ENTITY_CLUSTERS_SQL = f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, substr(text, 1, {EDIT_PREFIX_LEN}) AS p
+      FROM documents
+      WHERE lang = 'en' AND n_chars >= {EDIT_PREFIX_LEN}
+    ),
+    aug AS (
+      SELECT doc_id, p FROM base
+      UNION ALL
+      SELECT doc_id + {EDIT_PLANT_BASE},
+             substr(p, 1, 6) || 'q' || substr(p, 8, 24) || 'q'
+               || substr(p, 33)
+      FROM (SELECT doc_id, p FROM base ORDER BY doc_id
+            LIMIT {EDIT_PLANTED})
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM aug a JOIN aug b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.p, b.p) <= {EDIT_MAX_DIST}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM aug
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    lab AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    sz AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+    )
+    SELECT l.doc_id, l.cluster_id,
+           CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+           CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_canonical
+    FROM lab l JOIN sz USING (cluster_id)
 """
 
 
@@ -1735,6 +1824,8 @@ def _embedding_near_dup_lsh_gate(sf_dir: str):
 
 DEDUP_ORACLE_SQL["edit_distance_pairs"] = _EDIT_PAIRS_SQL
 
+DEDUP_ORACLE_SQL["entity_clusters_edit_distance"] = _ENTITY_CLUSTERS_SQL
+
 DEDUP_ORACLE_SQL["snapshot_diff_documents"] = _SNAPSHOT_DIFF_SQL
 
 DEDUP_ORACLE_SQL["ngram_jaccard_pairs"] = """
@@ -1884,6 +1975,7 @@ DEDUP_ORACLE_SQL["scrub_dup_spans"] = rf"""
 
 DEDUP_QUERIES = {
     "edit_distance_pairs": edit_distance_pairs_documents,
+    "entity_clusters_edit_distance": entity_clusters_edit_distance,
     "snapshot_diff_documents": snapshot_diff_documents,
     "exact_dedup_documents": exact_dedup_documents,
     "dedup_keep_best_documents": dedup_keep_best_documents,
