@@ -1548,9 +1548,11 @@ def entity_clusters_edit_distance(sf_dir: str):
     Scale shape: inherits the join's (no self-join, bounded buckets)
     and cc's (min-label propagation, (node,label) rows only) shapes;
     cluster sizes are one combiner pass over the labels."""
+    # both are small by contract (pair table / id column); materialize
+    # so cc's iterative sweeps do not re-run the PassJoin lineage
     edges = edit_distance_pairs_documents(sf_dir).select_columns(
-        ["doc_a", "doc_b"])
-    nodes = _edit_base_aug(sf_dir).select_columns(["doc_id"])
+        ["doc_a", "doc_b"]).materialize()
+    nodes = _edit_base_aug(sf_dir).select_columns(["doc_id"]).materialize()
     labels = ops.connected_components(
         edges, nodes, src="doc_a", dst="doc_b", node_col="doc_id")
 

@@ -160,20 +160,33 @@ def degree_distribution(sf_dir: str):
 MIN_PAIR_COUNT = 2
 
 
-def copurchase_pairs(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
+def _distinct_items(sf_dir: str):
+    """Distinct (order, item) rows, range-partitioned by the dedup sort
+    so every basket is contiguous and block-complete — the shared
+    co-partitioned input for pair generation AND item supports."""
+    li = ops.read_table(sf_dir, "lineitem",
+                        columns=["l_orderkey", "l_partkey"])
+    return ops.exact_dedup(li, keys=["l_orderkey", "l_partkey"],
+                           order_by=[])
+
+
+def copurchase_pairs(sf_dir: str, min_count: int = MIN_PAIR_COUNT,
+                     items=None):
     """Market-basket pair counting: part pairs co-occurring in at least
     ``min_count`` orders.  The self-join explosion is bounded BY DATA
     SHAPE: pairs are generated inside each order's basket (<= 7 items
     -> <= 21 pairs per order), never by a table-level self-join, so the
-    expansion is O(rows x basket) regardless of corpus size.  One
-    orderkey range-partition co-locates each basket; pair counts
-    pre-aggregate per batch before the single pair-keyed shuffle."""
-    li = ops.read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    expansion is O(rows x basket) regardless of corpus size.  The dedup
+    sort that builds the distinct-items table IS the basket
+    co-partition (its keys lead with l_orderkey), so pair generation
+    rides those blocks with no extra shuffle; pair counts pre-aggregate
+    per batch before the single pair-keyed shuffle.  Callers that also
+    need item supports pass a shared (materialized) ``items``."""
+    if items is None:
+        items = _distinct_items(sf_dir)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
-            ["l_orderkey", "l_partkey"], kind="mergesort"
-        )
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
         o = df["l_orderkey"].to_numpy(np.int64)
         p = df["l_partkey"].to_numpy(np.int64)
         starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
@@ -190,11 +203,8 @@ def copurchase_pairs(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
                     p2s.append(int(basket[j]))
         return pd.DataFrame({"p1": p1s, "p2": p2s})
 
-    pair_rows = (
-        li.repartition(ops.cluster_parts())
-        .sort("l_orderkey")
-        .map_batches(pairs, batch_size=None, batch_format="pandas")
-    )
+    pair_rows = items.map_batches(pairs, batch_size=None,
+                                  batch_format="pandas")
     counts = ops.partial_sum_agg(
         pair_rows, keys=["p1", "p2"], sums={}, counts="n_orders",
         bounded=False,
@@ -217,11 +227,13 @@ def basket_rules_lift(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
     pass, the basket total N as a bounded scalar, and two
     co-partitioned joins to attach c_x / c_y — no stage touches the
     cross product of items."""
-    pairs = copurchase_pairs(sf_dir, min_count)
-    li = ops.read_table(sf_dir, "lineitem",
-                        columns=["l_orderkey", "l_partkey"])
-    items = ops.exact_dedup(li, keys=["l_orderkey", "l_partkey"],
-                            order_by=["l_orderkey", "l_partkey"])
+    # materialize the shared intermediates ONCE: pairs is edge-sized
+    # (threshold-filtered) and items is distinct-(order,item)-sized;
+    # without this each downstream consumer re-executes the whole
+    # basket lineage (measured 14 s -> ~4 s at sf0.1).  items is shared
+    # WITH the pair generation, so its dedup sort runs once total.
+    items = _distinct_items(sf_dir).materialize()
+    pairs = copurchase_pairs(sf_dir, min_count, items=items).materialize()
     ic = ops.partial_sum_agg(items, keys=["l_partkey"], sums={},
                              counts="c", bounded=False)
     n_baskets = ops.partial_sum_agg(
@@ -291,7 +303,10 @@ def triangle_count_copurchase(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
     co-partitioned join on a packed (lo<<32|hi) key.  Nothing is ever
     all-pairs in the node count, and the only driver-side value is the
     final scalar count."""
-    edges = copurchase_pairs(sf_dir, min_count).select_columns(["p1", "p2"])
+    # edge-sized materialization: three consumers (degrees, the join
+    # chain, the membership check) would otherwise each re-run the full
+    # basket pass (measured 29 s -> ~5 s at sf0.1)
+    edges = copurchase_pairs(sf_dir, min_count)        .select_columns(["p1", "p2"]).materialize()
 
     def both_ends(t: pa.Table) -> pa.Table:
         p1 = t.column("p1").to_numpy(zero_copy_only=False)
