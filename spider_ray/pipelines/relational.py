@@ -1186,6 +1186,104 @@ _MAD_OUTLIERS_SQL = f"""
 """
 
 
+def validate_constraints(sf_dir: str):
+    """Data-quality gate (the Deequ/Great-Expectations shape): evaluate
+    a rule set over the warehouse and report violation counts per rule
+    — uniqueness, referential integrity, range, and non-null checks.
+    A loaded 100 TB corpus is validated by exactly these four shapes.
+
+    Scale shapes per rule: uniqueness = combiner count per key, then
+    count keys with n > 1 (violations = extra rows); FK integrity =
+    bloom/broadcast-free ANTI co-partition join counting orphans; range
+    and null checks = shuffle-free vectorized filters folded to one
+    partial row per batch.  Output is |rules| rows."""
+    orders = ops.read_table(sf_dir, "orders", columns=["o_orderkey"])
+    li = ops.read_table(sf_dir, "lineitem",
+                        columns=["l_orderkey", "l_quantity", "l_shipdate"])
+
+    # rule 1: o_orderkey unique — surplus rows per duplicated key
+    per_key = ops.partial_sum_agg(orders, keys=["o_orderkey"], sums={},
+                                  counts="n", bounded=False)
+
+    def surplus(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"rule": pa.array(["orders_pk_unique"] * len(t)),
+                         "violations": pa.array(np.maximum(n - 1, 0))})
+
+    r1 = per_key.map_batches(surplus, batch_format="pyarrow")
+
+    # rule 2: every lineitem references an existing order (FK) — count
+    # orphan rows via an anti co-partition join
+    orphans = ops.partitioned_hash_join(
+        li.select_columns(["l_orderkey"]),
+        orders.map_batches(lambda t: t.rename_columns(["l_orderkey"]),
+                           batch_format="pyarrow"),
+        on="l_orderkey", how="anti",
+    )
+
+    # bounded scalar: a no-violation anti join yields only empty
+    # (schema-less) blocks, which a mapped partial stream would carry
+    # into the union as RefBundle-warning noise — count() folds them
+    # cleanly and violation counts are |rules|-bounded by contract
+    n_orphans = orphans.count()
+    r2 = ray.data.from_arrow(pa.table({
+        "rule": pa.array(["lineitem_fk_orders"]),
+        "violations": pa.array([n_orphans], pa.int64()),
+    }))
+
+    # rules 3+4: range and non-null checks, shuffle-free
+    def range_null(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity")
+        in_range = pc.and_(pc.greater_equal(q, 1.0), pc.less_equal(q, 50.0))
+        # count rows where the predicate is definitively FALSE — a null
+        # quantity is not a range violation, matching SQL's
+        # WHERE NOT (...) null semantics
+        bad = pc.fill_null(pc.invert(in_range), False).cast(pa.int64())
+        bad_range = int(pc.sum(bad).as_py() or 0)
+        nulls = t.column("l_shipdate").null_count
+        return pa.table({
+            "rule": pa.array(["quantity_in_1_50", "shipdate_not_null"]),
+            "violations": pa.array([bad_range, nulls], pa.int64()),
+        })
+
+    r34 = li.map_batches(range_null, batch_format="pyarrow")
+
+    # zero-seed every rule: a rule with NO violating partition (e.g. an
+    # empty anti-join output) must still report violations = 0
+    seed = ray.data.from_arrow(pa.table({
+        "rule": pa.array(["orders_pk_unique", "lineitem_fk_orders",
+                          "quantity_in_1_50", "shipdate_not_null"]),
+        "violations": pa.array([0, 0, 0, 0], pa.int64()),
+    }))
+    return ops.partial_sum_agg(
+        seed.union(r1).union(r2).union(r34),
+        keys=["rule"], sums={"violations": "violations"}, counts=None,
+        bounded=True,  # |rules| rows
+    ).sort("rule")
+
+
+_VALIDATE_SQL = """
+    SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
+      SELECT 'orders_pk_unique' AS rule,
+             (SELECT COALESCE(SUM(n - 1), 0) FROM
+                (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+              WHERE n > 1) AS violations
+      UNION ALL
+      SELECT 'lineitem_fk_orders',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'quantity_in_1_50',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE NOT (l_quantity >= 1.0 AND l_quantity <= 50.0))
+      UNION ALL
+      SELECT 'shipdate_not_null',
+             (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+    ) ORDER BY rule
+"""
+
+
 def latest_event_per_user(sf_dir: str):
     """Log compaction (SCD-1 / CDC upsert shape): each user's LATEST
     full event row, ordered by (ts DESC, event_id DESC).  Same
@@ -1509,6 +1607,7 @@ ORACLE_SQL: dict[str, str] = {
     "latest_event_per_user": _LATEST_EVENT_SQL,
     "docs_above_lang_median": _ABOVE_MEDIAN_SQL,
     "mad_outliers_chars_by_lang": _MAD_OUTLIERS_SQL,
+    "validate_constraints": _VALIDATE_SQL,
     "export_documents_partitioned": _EXPORT_PARTITIONED_SQL,
 }
 
@@ -1530,6 +1629,7 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "docs_above_lang_median": docs_above_lang_median,
     "mad_outliers_chars_by_lang": mad_outliers_chars_by_lang,
+    "validate_constraints": validate_constraints,
     "export_documents_partitioned": export_documents_partitioned,
     "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,
