@@ -1186,6 +1186,102 @@ _MAD_OUTLIERS_SQL = f"""
 """
 
 
+_QC_QUANTS = ((25, "p25_e6"), (50, "p50_e6"), (75, "p75_e6"))
+
+
+def quantile_cont_quantity_by_flag(sf_dir: str):
+    """INTERPOLATED per-group quantiles (SQL quantile_cont semantics:
+    value = a + (b - a) * frac at position (n-1)*q) — the continuous
+    complement to the discrete median/quantile family.  The quantile
+    fractions are dyadic (25/50/75 hundredths over binary-exact integer
+    quantities), so the interpolation is EXACT in IEEE doubles and the
+    e6 floor hashes identically across engines; the twin spells out the
+    same two order statistics + expression rather than trusting the
+    builtin's internal rounding.
+
+    Scale shape: quantities live in a value-BOUNDED domain (1..50), so
+    one bounded combiner builds the full (flag, qty) count histogram
+    and selection runs on |flags| x 50 rows in the closure — no
+    data-sized sort anywhere."""
+    ds = ops.read_table(sf_dir, "lineitem",
+                        columns=["l_returnflag", "l_quantity"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        q = pc.floor(pc.add(t.column("l_quantity"), 0.5)).cast(pa.int64())
+        return pa.table({"l_returnflag": t.column("l_returnflag"), "q": q})
+
+    hist = ops.partial_sum_agg(
+        ds, pre=pre, keys=["l_returnflag", "q"], sums={}, counts="c",
+        bounded=True,  # |flags| x |quantity domain| rows
+    ).take_all()
+
+    by_flag: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (int(r["q"]), int(r["c"])))
+    flags = sorted(by_flag)
+    out: dict[str, list] = {"l_returnflag": flags}
+    for pct, col in _QC_QUANTS:
+        vals = []
+        for f in flags:
+            pairs = sorted(by_flag[f])
+            qs = np.array([p[0] for p in pairs], np.int64)
+            cum = np.cumsum([p[1] for p in pairs])
+            n = int(cum[-1])
+            # order statistics straight off the histogram cumsum — the
+            # driver never expands the value vector
+            pos = (n - 1) * pct / 100.0  # 1/4, 1/2, 3/4: dyadic-exact
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            a = float(qs[int(np.searchsorted(cum, lo + 1))])
+            b = (float(qs[int(np.searchsorted(cum, lo + 2))])
+                 if lo + 1 < n else a)
+            vals.append(int(np.floor((a + (b - a) * frac) * 1_000_000.0)))
+        out[col] = pa.array(vals, pa.int64())
+    return ray.data.from_arrow(pa.table(out))
+
+
+_QUANTILE_CONT_SQL = """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(floor(l_quantity + 0.5) AS BIGINT)
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    pick AS (
+      SELECT l_returnflag, n,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 1
+                      THEN q END) AS a25,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 2
+                      THEN q END) AS b25,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1
+                      THEN q END) AS a50,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 2
+                      THEN q END) AS b50,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 1
+                      THEN q END) AS a75,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 2
+                      THEN q END) AS b75
+      FROM v GROUP BY l_returnflag, n
+    )
+    SELECT l_returnflag,
+           CAST(floor((a25 + (COALESCE(b25, a25) - a25)
+                 * ((n-1) * 0.25 - floor((n-1) * 0.25))) * 1000000)
+                AS BIGINT) AS p25_e6,
+           CAST(floor((a50 + (COALESCE(b50, a50) - a50)
+                 * ((n-1) * 0.5 - floor((n-1) * 0.5))) * 1000000)
+                AS BIGINT) AS p50_e6,
+           CAST(floor((a75 + (COALESCE(b75, a75) - a75)
+                 * ((n-1) * 0.75 - floor((n-1) * 0.75))) * 1000000)
+                AS BIGINT) AS p75_e6
+    FROM pick
+"""
+
+
 def validate_constraints(sf_dir: str):
     """Data-quality gate (the Deequ/Great-Expectations shape): evaluate
     a rule set over the warehouse and report violation counts per rule
@@ -1608,6 +1704,7 @@ ORACLE_SQL: dict[str, str] = {
     "docs_above_lang_median": _ABOVE_MEDIAN_SQL,
     "mad_outliers_chars_by_lang": _MAD_OUTLIERS_SQL,
     "validate_constraints": _VALIDATE_SQL,
+    "quantile_cont_quantity_by_flag": _QUANTILE_CONT_SQL,
     "export_documents_partitioned": _EXPORT_PARTITIONED_SQL,
 }
 
@@ -1630,6 +1727,7 @@ QUERIES = {
     "docs_above_lang_median": docs_above_lang_median,
     "mad_outliers_chars_by_lang": mad_outliers_chars_by_lang,
     "validate_constraints": validate_constraints,
+    "quantile_cont_quantity_by_flag": quantile_cont_quantity_by_flag,
     "export_documents_partitioned": export_documents_partitioned,
     "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,
