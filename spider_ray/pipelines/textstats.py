@@ -915,7 +915,52 @@ def shard_shuffle_documents(sf_dir: str, n_shards: int = SHUFFLE_SHARDS):
     )
 
 
+_WS_COLLAPSE = re.compile(r"[ \t\r\n]+")
+
+
+def normalize_text_documents(sf_dir: str):
+    """Canonical text normalization — the first pass of every dedup /
+    tokenize stage at corpus scale: Unicode NFC, whitespace collapse to
+    single spaces, edge trim.  Emits the md5 and codepoint length of
+    the normalized text so the gate proves the BYTES, not a summary
+    (unicodedata NFC and DuckDB's nfc_normalize agree on every doc of
+    both fixture scales — verified before this op was committed).
+
+    Scale shape: pure shuffle-free map; per-doc normalization is
+    inherently rowwise (like the extract kernel), state-free, and
+    linear in the text."""
+    import unicodedata
+
+    ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        outs = [
+            _WS_COLLAPSE.sub(" ", unicodedata.normalize("NFC", x)).strip()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "norm_md5": pa.array(
+                [hashlib.md5(x.encode()).hexdigest() for x in outs]),
+            "norm_len": pa.array([len(x) for x in outs], pa.int64()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+_NORMALIZE_SQL = r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(nfc_normalize(text),
+                                   '[ \t\r\n]+', ' ', 'g'))) AS norm_md5,
+           CAST(length(trim(regexp_replace(nfc_normalize(text),
+                                           '[ \t\r\n]+', ' ', 'g')))
+                AS BIGINT) AS norm_len
+    FROM documents
+"""
+
+
 TEXT_ORACLE_SQL = {
+    "normalize_text_documents": _NORMALIZE_SQL,
     "pack_training_sequences": rf"""
         WITH c AS (
           SELECT doc_id,
@@ -1207,6 +1252,7 @@ TEXT_ORACLE_SQL = {
 }
 
 TEXT_QUERIES = {
+    "normalize_text_documents": normalize_text_documents,
     "split_train_val_test": split_train_val_test_documents,
     "weighted_mix_by_source": weighted_mix_by_source,
     "pack_training_sequences": pack_training_sequences,
