@@ -1186,6 +1186,107 @@ _MAD_OUTLIERS_SQL = f"""
 """
 
 
+def profile_lineitem_columns(sf_dir: str):
+    """Column profiling (the describe/Deequ-metrics shape): per column,
+    row count, null count, exact distinct count, min and max — the
+    stats a 100 TB ingest job publishes next to every table.  Values
+    are canonicalized to int64 (quantity as units, price as cents,
+    shipdate as days since epoch) so one narrow schema carries all
+    columns.
+
+    Scale shapes: count/null/min/max fold in ONE shuffle-free
+    multi-algebra pass (sum + min + max combiner); exact NDV is the
+    distinct machinery — per-batch local unique, one (column, value)
+    dedup shuffle, bounded per-column count."""
+    ds = ops.read_table(
+        sf_dir, "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_shipdate"])
+
+    def canon(t: pa.Table) -> dict[str, np.ndarray]:
+        return {
+            "l_quantity": pc.floor(pc.add(t.column("l_quantity"), 0.5))
+                .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "l_extendedprice": pc.floor(
+                pc.add(pc.multiply(t.column("l_extendedprice"), 100.0),
+                       0.5)).cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+            "l_shipdate": t.column("l_shipdate").cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+        }
+
+    def fold(t: pa.Table) -> pa.Table:
+        vals = canon(t)
+        cols, ns, nulls, mns, mxs = [], [], [], [], []
+        for c, v in vals.items():
+            cols.append(c)
+            ns.append(len(t))
+            nulls.append(t.column(c).null_count)
+            mns.append(int(v.min()) if len(v) else 0)
+            mxs.append(int(v.max()) if len(v) else 0)
+        return pa.table({
+            "column": pa.array(cols),
+            "n": pa.array(ns, pa.int64()),
+            "nulls": pa.array(nulls, pa.int64()),
+            "mn": pa.array(mns, pa.int64()),
+            "mx": pa.array(mxs, pa.int64()),
+        })
+
+    stats = ops.partial_sum_agg(
+        ds.map_batches(fold, batch_format="pyarrow"),
+        keys=["column"], sums={"n": "n", "nulls": "nulls"}, counts=None,
+        mins={"mn": "min_v"}, maxs={"mx": "max_v"},
+        bounded=True,  # |columns| rows
+    )
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        vals = canon(t)
+        cols, vs = [], []
+        for c, v in vals.items():
+            u = np.unique(v)
+            cols.extend([c] * len(u))
+            vs.append(u)
+        return pa.table({"column": pa.array(cols),
+                         "v": pa.array(np.concatenate(vs)
+                                       if vs else np.array([], np.int64))})
+
+    distinct = ops.exact_dedup(
+        ds.map_batches(local_distinct, batch_format="pyarrow"),
+        keys=["column", "v"], order_by=[],
+    )
+    ndv = ops.partial_sum_agg(distinct, keys=["column"], sums={},
+                              counts="ndv", bounded=True)
+
+    out = ops.partitioned_hash_join(stats, ndv, on="column")
+    return out.map_batches(
+        lambda t: t.select(["column", "n", "nulls", "ndv",
+                            "min_v", "max_v"]),
+        batch_format="pyarrow",
+    ).sort("column")
+
+
+_PROFILE_SQL = """
+    WITH c AS (
+      SELECT 'l_quantity' AS col, CAST(floor(l_quantity + 0.5) AS BIGINT)
+             AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice',
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate',
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      FROM lineitem
+    )
+    SELECT col AS column, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(v) AS BIGINT) AS nulls,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v
+    FROM c GROUP BY col ORDER BY col
+"""
+
+
 _QC_QUANTS = ((25, "p25_e6"), (50, "p50_e6"), (75, "p75_e6"))
 
 
@@ -1705,6 +1806,7 @@ ORACLE_SQL: dict[str, str] = {
     "mad_outliers_chars_by_lang": _MAD_OUTLIERS_SQL,
     "validate_constraints": _VALIDATE_SQL,
     "quantile_cont_quantity_by_flag": _QUANTILE_CONT_SQL,
+    "profile_lineitem_columns": _PROFILE_SQL,
     "export_documents_partitioned": _EXPORT_PARTITIONED_SQL,
 }
 
@@ -1728,6 +1830,7 @@ QUERIES = {
     "mad_outliers_chars_by_lang": mad_outliers_chars_by_lang,
     "validate_constraints": validate_constraints,
     "quantile_cont_quantity_by_flag": quantile_cont_quantity_by_flag,
+    "profile_lineitem_columns": profile_lineitem_columns,
     "export_documents_partitioned": export_documents_partitioned,
     "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,
