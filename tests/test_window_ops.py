@@ -187,3 +187,36 @@ def test_funnel_strict_ordering(ray_session, tmp_path):
     out = {r["step"]: r["users"]
            for r in funnel_signup_click_purchase(sf).take_all()}
     assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_validate_constraints_counts_planted_violations(ray_session, tmp_path):
+    """On the clean fixture most rules report 0; this crafted warehouse
+    plants exact violation counts for every rule."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.relational import validate_constraints
+
+    sf = str(tmp_path / "sf_dq")
+    os.makedirs(sf, exist_ok=True)
+    # orders: key 1 appears 3x (2 surplus rows), keys 2, 3 clean
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 1, 1, 2, 3], pa.int64()),
+    }), f"{sf}/orders.parquet")
+    ts = pd.Timestamp("2025-03-01")
+    li = pd.DataFrame({
+        "l_orderkey": [1, 2, 3, 99, 98],    # 99, 98 are orphans
+        "l_quantity": [5.0, 0.0, 77.0, 10.0, 10.0],  # 0 and 77 out of range
+        "l_shipdate": [ts, ts, pd.NaT, ts, ts],      # one null
+    })
+    pq.write_table(pa.Table.from_pandas(li), f"{sf}/lineitem.parquet")
+
+    out = {r["rule"]: r["violations"]
+           for r in validate_constraints(sf).take_all()}
+    assert out == {
+        "orders_pk_unique": 2,
+        "lineitem_fk_orders": 2,
+        "quantity_in_1_50": 2,
+        "shipdate_not_null": 1,
+    }
