@@ -1287,6 +1287,86 @@ _PROFILE_SQL = """
 """
 
 
+def _skyline_2d(price: np.ndarray, day: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2D Pareto frontier (maximize price,
+    minimize day; dominated = another point >= / <= with at least one
+    strict).  Vectorized: one sort, one cumulative min — a point
+    survives iff its day beats the strict-higher-price running min AND
+    equals its own price group's min (exact duplicates all survive:
+    neither strictly dominates the other)."""
+    order = np.lexsort((day, -price))
+    p_s, d_s = price[order], day[order]
+    grp_start = np.r_[True, p_s[1:] != p_s[:-1]]
+    gid = np.cumsum(grp_start) - 1
+    # min day within each price group (groups are day-sorted: first row)
+    group_min = d_s[grp_start][gid]
+    # running min of day over STRICTLY higher price groups
+    cum = np.minimum.accumulate(d_s[grp_start])
+    strict_min = np.r_[np.iinfo(np.int64).max, cum[:-1]][gid]
+    keep_sorted = (d_s < strict_min) & (d_s == group_min)
+    keep = np.zeros(len(price), bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_orders(sf_dir: str):
+    """Skyline / Pareto-frontier query over urgent orders: the orders
+    no other urgent order beats on BOTH price (higher) and date
+    (earlier) — the multi-objective 'best tradeoffs' operator.
+
+    Scale shape: the classic two-level skyline — each block computes
+    its local frontier vectorized (a local non-survivor can never be a
+    global survivor), the union of frontiers (tiny: 2D random-data
+    skylines are ~log n) folds through one final pass in a single
+    block.  No self-join anywhere; the SQL twin is the quadratic
+    NOT-EXISTS definition, valid at gate scale."""
+    ds = ops.read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice",
+                 "o_orderdate"])
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        price = pc.floor(pc.add(pc.multiply(
+            t.column("o_totalprice"), 100.0), 0.5)).cast(pa.int64())
+        day = t.column("o_orderdate").cast(pa.date32()).cast(pa.int32())\
+               .cast(pa.int64())
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "price_c": price, "day": day})
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        keep = _skyline_2d(
+            t.column("price_c").to_numpy(zero_copy_only=False),
+            t.column("day").to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(keep))
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)  # union of frontiers: ~log n rows by contract
+        .map_batches(local_skyline, batch_size=None, batch_format="pyarrow")
+        .sort("o_orderkey")
+    )
+
+
+_SKYLINE_SQL = """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS day
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT a.o_orderkey, a.price_c, a.day FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.price_c >= a.price_c AND b.day <= a.day
+        AND (b.price_c > a.price_c OR b.day < a.day))
+"""
+
+
 _QC_QUANTS = ((25, "p25_e6"), (50, "p50_e6"), (75, "p75_e6"))
 
 
@@ -1807,6 +1887,7 @@ ORACLE_SQL: dict[str, str] = {
     "validate_constraints": _VALIDATE_SQL,
     "quantile_cont_quantity_by_flag": _QUANTILE_CONT_SQL,
     "profile_lineitem_columns": _PROFILE_SQL,
+    "skyline_orders": _SKYLINE_SQL,
     "export_documents_partitioned": _EXPORT_PARTITIONED_SQL,
 }
 
@@ -1831,6 +1912,7 @@ QUERIES = {
     "validate_constraints": validate_constraints,
     "quantile_cont_quantity_by_flag": quantile_cont_quantity_by_flag,
     "profile_lineitem_columns": profile_lineitem_columns,
+    "skyline_orders": skyline_orders,
     "export_documents_partitioned": export_documents_partitioned,
     "docs_lang_filter": docs_lang_filter,
     "domain_counts_documents": domain_counts_documents,

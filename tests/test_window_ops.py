@@ -220,3 +220,21 @@ def test_validate_constraints_counts_planted_violations(ray_session, tmp_path):
         "quantity_in_1_50": 2,
         "shipdate_not_null": 1,
     }
+
+
+def test_skyline_kernel_dominance_edges(ray_session):
+    """Exact duplicates all survive (no strict dominance between equal
+    points); equal-day-lower-price and equal-price-later-day are
+    dominated."""
+    import numpy as np
+
+    from spider_ray.pipelines.relational import _skyline_2d
+
+    price = np.array([10, 10, 10,  9,  9, 12,  8], np.int64)
+    day =   np.array([ 5,  5,  7,  5,  4,  9,  3], np.int64)
+    # (10,5) x2: survive as duplicates.  (10,7): dominated by (10,5).
+    # (9,5): dominated by (10,5).  (9,4): survives (earlier than any
+    # higher-price point).  (12,9): survives (highest price).
+    # (8,3): survives (earliest day).
+    keep = _skyline_2d(price, day)
+    assert list(keep) == [True, True, False, False, True, True, True]
