@@ -16,6 +16,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from spider_ray import ops
@@ -104,6 +105,53 @@ def ann_bruteforce_topk(sf_dir: str, n_queries: int = 4, k: int = 5):
     # n_queries-key merge + (n_queries x k)-row final sort: both
     # key-domain-bounded — pack blocks so no empty range partition
     # emits a schema-less block (VERDICT r02 'What's wrong' #4)
+    merged = ops.grouped_final(
+        local, "query_id", lambda g: _merge_topk(g, k), n_groups=n_queries
+    )
+    return merged.repartition(1).sort(
+        ["query_id", "cosine_e4"], descending=[False, True]
+    )
+
+
+ANN_FILTER_LABEL = 1
+
+
+def ann_filtered_topk(sf_dir: str, n_queries: int = 4, k: int = 5,
+                      label: int = ANN_FILTER_LABEL):
+    """Filtered vector search (the vector-DB 'metadata predicate +
+    top-k' shape): exact cosine top-k restricted to embeddings with a
+    given label.  The predicate applies BEFORE the matmul, so the
+    filter prunes compute and the candidate merge — pre-filtering, not
+    post-filtering (post-filter top-k under-fills k when the predicate
+    is selective).  Queries stay unfiltered, matching the twin."""
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((qids, qmat))
+    ds = ops.read_table(sf_dir, "embeddings",
+                        columns=["vec_id", "embedding", "label"])
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("label"), label))
+        ids_q, q = ray.get(q_ref)
+        out_q, out_v, out_s = [], [], []
+        if len(t):
+            df = t.to_pandas()
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-12, None)
+            sims = q @ mat.T
+            vids = df["vec_id"].to_numpy()
+            for qi in range(sims.shape[0]):
+                idx = _topk_ids(sims[qi], vids, k)
+                out_q.extend([int(ids_q[qi])] * len(idx))
+                out_v.extend(vids[idx].tolist())
+                out_s.extend(sims[qi][idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+    local = ds.map_batches(score, batch_format="pyarrow")
     merged = ops.grouped_final(
         local, "query_id", lambda g: _merge_topk(g, k), n_groups=n_queries
     )
@@ -399,6 +447,29 @@ _CENTROID_SQL = """
 """
 
 
+_FILTERED_SQL = f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings ORDER BY vec_id LIMIT 4
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   CAST(floor(
+                     list_cosine_similarity(q.qe, e.embedding) * 10000 + 0.5
+                   ) AS BIGINT) AS cosine_e4,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                              e.vec_id ASC
+                   ) AS rn
+            FROM q CROSS JOIN
+                 (SELECT * FROM embeddings
+                  WHERE label = {ANN_FILTER_LABEL}) e
+        )
+        SELECT query_id, vec_id, cosine_e4 FROM scored WHERE rn <= 5
+"""
+
+
 KMEANS_K = 4
 KMEANS_ITERS = 3
 
@@ -585,6 +656,7 @@ ANN_ORACLE_SQL = {
     # tests/test_ann.py
     "ann_ivf_topk": _BRUTEFORCE_SQL,
     "kmeans_embeddings": _kmeans_sql(),
+    "ann_filtered_topk": _FILTERED_SQL,
 }
 
 
@@ -597,4 +669,5 @@ ANN_QUERIES = {
     "ann_ivf_topk": _ann_ivf_exhaustive,
     "centroid_by_label_embeddings": centroid_by_label_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
+    "ann_filtered_topk": ann_filtered_topk,
 }
