@@ -103,6 +103,13 @@ QUERY_NAMES = [
     "event_path_per_user",
     "latest_event_per_user",
     "mad_outliers_chars_by_lang",
+    "validate_constraints",
+    "profile_lineitem_columns",
+    "quantile_cont_quantity_by_flag",
+    "normalize_text_documents",
+    "skyline_orders",
+    "ann_filtered_topk",
+    "entity_clusters_edit_distance",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

@@ -447,6 +447,111 @@ _CENTROID_SQL = """
 """
 
 
+HYBRID_TERM = "the"
+HYBRID_K = 50     # per-modality list depth
+RRF_C = 60        # the standard reciprocal-rank-fusion constant
+HYBRID_TOP = 20
+
+
+def hybrid_search_rrf(sf_dir: str):
+    """Hybrid retrieval — reciprocal-rank fusion of a VECTOR ranking
+    (cosine vs doc 0's embedding) and a KEYWORD ranking (occurrence
+    count of a fixed term), the retrieval shape modern search stacks
+    run.  rrf_e6 = sum over lists of 1e6 // (60 + rank); docs missing
+    from a top-``HYBRID_K`` list contribute nothing from it.  Ranks
+    order by (e4-quantized cosine, doc_id) / (count, doc_id), so both
+    engines rank identical integers — no float order dependence.
+
+    Scale shape: each modality folds to a per-batch local top-K and a
+    bounded merge (the ANN merge pattern); fusion and the final top-20
+    happen on <= 2K rows in the closure."""
+    qids, qmat = _query_matrix(sf_dir, 1)
+    q_ref = ray.put(qmat[0])
+    emb = ops.read_table(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"])
+
+    def vec_scores(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        df = t.to_pandas()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                       1e-12, None)
+        sims = mat @ q
+        e4 = np.floor(sims * 10_000.0 + 0.5).astype(np.int64)
+        vids = df["vec_id"].to_numpy()
+        order = np.lexsort((vids, -e4))[:HYBRID_K]  # local top-K
+        return pa.table({"doc_id": pa.array(vids[order], pa.int64()),
+                         "s": pa.array(e4[order])})
+
+    docs = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kw_scores(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        cnt = np.array([x.count(HYBRID_TERM)
+                        for x in t.column("text").to_pylist()], np.int64)
+        order = np.lexsort((ids, -cnt))[:HYBRID_K]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "s": pa.array(cnt[order])})
+
+    def top_ranks(ds) -> dict[int, int]:
+        rows = ds.take_all()  # <= HYBRID_K per block, bounded
+        rows.sort(key=lambda r: (-int(r["s"]), int(r["doc_id"])))
+        return {int(r["doc_id"]): i + 1
+                for i, r in enumerate(rows[:HYBRID_K])}
+
+    rv = top_ranks(emb.map_batches(vec_scores, batch_format="pyarrow"))
+    rk = top_ranks(docs.map_batches(kw_scores, batch_format="pyarrow"))
+
+    fused = []
+    for d in sorted(set(rv) | set(rk)):
+        score = 0
+        if d in rv:
+            score += 1_000_000 // (RRF_C + rv[d])
+        if d in rk:
+            score += 1_000_000 // (RRF_C + rk[d])
+        fused.append((d, score))
+    fused.sort(key=lambda x: (-x[1], x[0]))
+    fused = fused[:HYBRID_TOP]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf_e6": pa.array([s for _, s in fused], pa.int64()),
+    }))
+
+
+_HYBRID_SQL = f"""
+    WITH q AS (
+      SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY CAST(floor(
+                 list_cosine_similarity(e.embedding, q.qe) * 10000 + 0.5
+               ) AS BIGINT) DESC, vec_id ASC) AS r
+      FROM embeddings e CROSS JOIN q
+      QUALIFY r <= {HYBRID_K}
+    ),
+    kw AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY (length(text)
+                         - length(replace(text, '{HYBRID_TERM}', '')))
+                        / length('{HYBRID_TERM}') DESC, doc_id ASC) AS r
+      FROM documents
+      QUALIFY r <= {HYBRID_K}
+    ),
+    fused AS (
+      SELECT COALESCE(v.doc_id, k.doc_id) AS doc_id,
+             COALESCE(1000000 // ({RRF_C} + v.r), 0)
+             + COALESCE(1000000 // ({RRF_C} + k.r), 0) AS rrf_e6
+      FROM vec v FULL OUTER JOIN kw k ON v.doc_id = k.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rrf_e6 AS BIGINT) AS rrf_e6
+    FROM fused ORDER BY rrf_e6 DESC, doc_id ASC LIMIT {HYBRID_TOP}
+"""
+
+
 _FILTERED_SQL = f"""
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qe
@@ -657,6 +762,7 @@ ANN_ORACLE_SQL = {
     "ann_ivf_topk": _BRUTEFORCE_SQL,
     "kmeans_embeddings": _kmeans_sql(),
     "ann_filtered_topk": _FILTERED_SQL,
+    "hybrid_search_rrf": _HYBRID_SQL,
 }
 
 
@@ -670,4 +776,5 @@ ANN_QUERIES = {
     "centroid_by_label_embeddings": centroid_by_label_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
     "ann_filtered_topk": ann_filtered_topk,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }

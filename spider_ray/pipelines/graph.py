@@ -361,7 +361,12 @@ def triangle_count_copurchase(sf_dir: str, min_count: int = MIN_PAIR_COUNT):
         return pd.DataFrame({"k": np.array(ks, np.int64)})
 
     wedge_keys = (
-        oriented.repartition(ops.cluster_parts())
+        # identity-coalesce before the sort (exact_dedup's idiom): the
+        # thresholded edge set is tiny relative to its upstream block
+        # count, and task-count partitions over it mint empty
+        # (schema-less) blocks — volume-tracked blocks do not
+        oriented.map_batches(lambda t: t, batch_size=32768,
+                             batch_format="pyarrow")
         .sort("src")
         .map_batches(wedges, batch_size=None, batch_format="pandas")
     )
