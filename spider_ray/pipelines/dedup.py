@@ -1536,6 +1536,9 @@ _EDIT_PAIRS_SQL = f"""
 """
 
 
+ENTITY_DRIVER_EDGE_THRESHOLD = 100_000
+
+
 def entity_clusters_edit_distance(sf_dir: str):
     """Entity resolution end-to-end: blocking + pairwise matching via
     the PassJoin edit-distance join, then distributed connected
@@ -1549,21 +1552,64 @@ def entity_clusters_edit_distance(sf_dir: str):
     and cc's (min-label propagation, (node,label) rows only) shapes;
     cluster sizes are one combiner pass over the labels."""
     # both are small by contract (pair table / id column); materialize
-    # so cc's iterative sweeps do not re-run the PassJoin lineage
+    # so the closure does not re-run the PassJoin lineage
     edges = edit_distance_pairs_documents(sf_dir).select_columns(
         ["doc_a", "doc_b"]).materialize()
     nodes = _edit_base_aug(sf_dir).select_columns(["doc_id"]).materialize()
-    labels = ops.connected_components(
-        edges, nodes, src="doc_a", dst="doc_b", node_col="doc_id")
 
-    sizes = ops.partial_sum_agg(
+    n_edges = edges.count()
+    if n_edges <= ENTITY_DRIVER_EDGE_THRESHOLD:
+        # threshold-gated driver fast path (same pattern as the LSH
+        # candidate verify, dedup.py): the MATCH GRAPH is pair-sized,
+        # so union-find on the driver replaces ~6 distributed cc
+        # executions; nodes stay distributed — labels ship as a
+        # broadcast dict and singletons default to their own id.
+        # Above the threshold the min-label-propagation cc takes over,
+        # bit-identical (both assign the component MIN).
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in edges.take_all():
+            a, b = find(int(r["doc_a"])), find(int(r["doc_b"]))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        lab = {x: find(x) for x in list(parent)}
+        lab_ref = ray.put(lab)
+
+        def assign(t: pa.Table) -> pa.Table:
+            m = ray.get(lab_ref)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            keys = np.sort(np.fromiter(m.keys(), np.int64, len(m)))
+            vals = np.array([m[k] for k in keys], np.int64)
+            # vectorized dict gather: python touches only the
+            # pair-sized label table, never the corpus rows
+            if len(keys) == 0:
+                out = ids.astype(np.int64)
+            else:
+                pos = np.clip(np.searchsorted(keys, ids), 0,
+                              len(keys) - 1)
+                out = np.where(keys[pos] == ids, vals[pos], ids)
+            return pa.table({"node": pa.array(ids),
+                             "label": pa.array(out.astype(np.int64))})
+
+        labels = nodes.map_batches(assign, batch_format="pyarrow")
+    else:
+        labels = ops.connected_components(
+            edges, nodes, src="doc_a", dst="doc_b", node_col="doc_id")
+
+    # agg->join fusion: the size aggregate's key IS the join key, so
+    # the per-batch count partials merge inside the join's shuffle
+    size_parts, size_merge = ops.partial_sum_agg(
         labels, keys=["label"], sums={}, counts="cluster_size",
-        bounded=False,
-    ).map_batches(
-        lambda t: t.rename_columns(["label", "cluster_size"]),
-        batch_format="pyarrow",
+        bounded=False, unmerged=True,
     )
-    out = ops.partitioned_hash_join(labels, sizes, on="label")
+    out = ops.partitioned_hash_join(size_parts, labels, on="label",
+                                    left_pre=size_merge)
 
     def finish(t: pa.Table) -> pa.Table:
         node = t.column("node").to_numpy(zero_copy_only=False)
