@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "skyline_orders",
     "ann_filtered_topk",
     "entity_clusters_edit_distance",
+    "hybrid_search_rrf",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its
