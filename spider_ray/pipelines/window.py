@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray.data
 
 from spider_ray import ops
 
@@ -692,7 +693,73 @@ _RETENTION_SQL = f"""
 """
 
 
+HOUR_US = 3600 * 1_000_000
+
+
+def hourly_counts_densified(sf_dir: str):
+    """Gap-filled hourly event counts per type — the time-series
+    RESAMPLE/densify step (dashboards and forecasting want a row for
+    every hour, including zeros, not just hours with data).
+
+    Scale shape: counts fold through one key-domain-bounded combiner
+    (hours x types — calendar-sized, not data-sized); the min/max hour
+    bounds ride the same pass as min/max algebras; densification
+    happens in the closure over the bounded grid and never touches the
+    event rows again."""
+    ds = ops.read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        hr = pc.divide(t.column("ts").cast(pa.int64()), HOUR_US)
+        return pa.table({"event_type": t.column("event_type"),
+                         "hour": hr, "h2": hr})
+
+    agg = ops.partial_sum_agg(
+        ds, pre=pre, keys=["event_type", "hour"], sums={}, counts="n",
+        mins={"h2": "hmin"}, maxs={"h2": "hmax"},
+        bounded=True,  # calendar x types rows
+    ).take_all()
+
+    if not agg:
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "hour": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64())}))
+    lo = min(int(r["hmin"]) for r in agg)
+    hi = max(int(r["hmax"]) for r in agg)
+    have = {(r["event_type"], int(r["hour"])): int(r["n"]) for r in agg}
+    types = sorted({r["event_type"] for r in agg})
+    hours = np.arange(lo, hi + 1, dtype=np.int64)
+    out = pa.table({
+        "event_type": pa.array(np.repeat(types, len(hours))),
+        "hour": pa.array(np.tile(hours, len(types))),
+        "n": pa.array([have.get((ty, int(h)), 0)
+                       for ty in types for h in hours], pa.int64()),
+    })
+    return ray.data.from_arrow(out)
+
+
+_DENSIFIED_SQL = f"""
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // {HOUR_US} AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, g.hour
+      FROM (SELECT DISTINCT event_type FROM c) t
+      CROSS JOIN (
+        SELECT unnest(range((SELECT MIN(hour) FROM c),
+                            (SELECT MAX(hour) FROM c) + 1)) AS hour
+      ) g
+    )
+    SELECT grid.event_type, CAST(grid.hour AS BIGINT) AS hour,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM grid LEFT JOIN c USING (event_type, hour)
+"""
+
+
 WINDOW_QUERIES = {
+    "hourly_counts_densified": hourly_counts_densified,
     "retention_cohorts": retention_cohorts,
     "event_path_per_user": event_path_per_user,
     "funnel_signup_click_purchase": funnel_signup_click_purchase,
@@ -711,6 +778,7 @@ WINDOW_QUERIES = {
 }
 
 WINDOW_ORACLE_SQL = {
+    "hourly_counts_densified": _DENSIFIED_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "event_path_per_user": _EVENT_PATH_SQL,
     "funnel_signup_click_purchase": _FUNNEL_SQL,
