@@ -157,6 +157,113 @@ def degree_distribution(sf_dir: str):
     return dist.sort("d")
 
 
+BFS_HOPS = 3
+BFS_SEED_MOD = 250        # seeds: part nodes with partkey % 250 == 0
+
+
+def bfs_hops_order_part(sf_dir: str, hops: int = BFS_HOPS):
+    """Multi-source BFS shortest hop counts over the order-part graph —
+    the traversal sibling of pagerank's value propagation: (node, dist)
+    for every node within ``hops`` of any seed, dist = MIN hops.
+
+    Delta-frontier supersteps (the property that makes distributed BFS
+    tractable): only NEWLY discovered nodes expand in the next round,
+    so per superstep the engine runs (1) a semi join edges x frontier
+    on src — neighbor expansion, ships nothing but the frontier key
+    column on the probe side, (2) a distinct over the candidate
+    neighbors, (3) an anti join against the discovered set — both
+    right sides are key-only per partitioned_hash_join's semi/anti
+    projection.  Frontiers shrink monotonically; the discovered table
+    only ever receives unions (no rewrite).  The edge table re-enters
+    the superstep join each round — at 100 TB you'd materialize edges
+    ONCE into a src-partitioned layout (the ann.py IVF index pattern)
+    and stream only the frontier through it; the semantics here are
+    identical.
+
+    Integer dist (hop level the node first appeared at) keeps the
+    result bit-exact vs the unrolled-CTE DuckDB twin."""
+    edges = _edges_deg(sf_dir).map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+    ).materialize()
+
+    # seeds: odd node ids are parts (node = 2*p + 1)
+    def seed_batch(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        m = (src % 2 == 1) & (((src - 1) // 2) % BFS_SEED_MOD == 0)
+        return pa.table({"node": pa.array(src[m], pa.int64())})
+
+    frontier = ops.exact_dedup(
+        edges.map_batches(seed_batch, batch_format="pyarrow"),
+        keys=["node"], order_by=[],
+    ).materialize()
+
+    def with_dist(lvl: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": t.column("node"),
+                 "dist": pa.array(np.full(len(t), lvl, np.int64))}
+            )
+        return f
+
+    dist = frontier.map_batches(with_dist(0), batch_format="pyarrow").materialize()
+
+    for lvl in range(1, hops + 1):
+        probe = frontier.map_batches(
+            lambda t: t.rename_columns(["src"]), batch_format="pyarrow"
+        )
+        # (1) neighbor expansion: edges rows whose src is in the frontier
+        reached = ops.partitioned_hash_join(edges, probe, on="src", how="semi")
+        cand = ops.exact_dedup(
+            reached.map_batches(
+                lambda t: pa.table({"node": t.column("dst")}),
+                batch_format="pyarrow",
+            ),
+            keys=["node"], order_by=[],
+        )
+        # (3) keep only nodes not discovered at an earlier level
+        new = ops.partitioned_hash_join(cand, dist, on="node", how="anti")
+        new = new.materialize()
+        if new.count() == 0:
+            break
+        dist = dist.union(
+            new.map_batches(with_dist(lvl), batch_format="pyarrow")
+        ).materialize()
+        frontier = new
+
+    return dist.sort("node")
+
+
+def _bfs_sql(hops: int = BFS_HOPS) -> str:
+    levels = ["SELECT node, 0 AS lvl FROM r0"]
+    steps = []
+    for i in range(1, hops + 1):
+        steps.append(f"""r{i} AS (
+      SELECT node FROM r{i - 1}
+      UNION
+      SELECT e.dst AS node FROM edges e JOIN r{i - 1} f ON e.src = f.node
+    )""")
+        levels.append(f"SELECT node, {i} AS lvl FROM r{i}")
+    chained = ",\n    ".join(steps)
+    lvl_union = "\n      UNION ALL ".join(levels)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT 2 * l_orderkey AS src, 2 * l_partkey + 1 AS dst
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ),
+    r0 AS (
+      SELECT DISTINCT 2 * l_partkey + 1 AS node FROM lineitem
+      WHERE l_partkey % {BFS_SEED_MOD} = 0
+    ),
+    {chained}
+    SELECT node, CAST(MIN(lvl) AS BIGINT) AS dist
+    FROM ({lvl_union})
+    GROUP BY node
+    """
+
+
 MIN_PAIR_COUNT = 2
 
 
@@ -405,6 +512,7 @@ GRAPH_QUERIES = {
     "basket_rules_lift": basket_rules_lift,
     "triangle_count_copurchase": triangle_count_copurchase,
     "pagerank_order_part": pagerank_order_part,
+    "bfs_hops_order_part": bfs_hops_order_part,
     "degree_distribution": degree_distribution,
     "copurchase_pairs": copurchase_pairs,
 }
@@ -413,6 +521,7 @@ GRAPH_ORACLE_SQL = {
     "basket_rules_lift": _BASKET_RULES_SQL,
     "triangle_count_copurchase": _TRIANGLE_SQL,
     "pagerank_order_part": _pagerank_sql(),
+    "bfs_hops_order_part": _bfs_sql(),
     "degree_distribution": """
         WITH e0 AS (
           SELECT DISTINCT 2 * l_orderkey AS src, 2 * l_partkey + 1 AS dst
