@@ -758,7 +758,88 @@ _DENSIFIED_SQL = f"""
 """
 
 
+def global_rank_orders(sf_dir: str, scan_block_rows: int = 32768):
+    """Exact GLOBAL row_number over a total order — the distributed
+    external sort certified row-by-row: every order gets its worldwide
+    rank under ORDER BY (o_totalprice DESC, o_orderkey), and the rank
+    column makes the ordering visible to the driver's order-insensitive
+    value hash (a bare sorted output would hash identically in any
+    order; the seq column pins it).
+
+    Scale shape: the crawl's O1 round-ordering pattern generalized —
+    ONE range-partition sort (Ray samples boundaries; no stage sees
+    more than a block), then the two-phase distributed prefix scan from
+    pack_training_sequences: phase 1 reads one (first_key, n_rows) row
+    PER BLOCK (bounded by block count), the driver computes exclusive
+    block offsets, phase 2 re-maps the SAME materialized blocks adding
+    offset + local arange.  Rank assignment costs zero extra shuffles
+    on top of the sort.  (o_totalprice, o_orderkey) is unique per row,
+    so no key group can straddle a block boundary."""
+    ds = ops.read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    ordered = (
+        ds.map_batches(lambda t: t, batch_size=scan_block_rows,
+                       batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .materialize()  # pins block boundaries for the two scan phases
+    )
+
+    def block_count(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"first_key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table(
+            {"first_key": pa.array([t.column("o_orderkey")[0].as_py()],
+                                   pa.int64()),
+             "n": pa.array([len(t)], pa.int64())}
+        )
+
+    sums = [
+        (r["first_key"], r["n"])
+        for r in ordered.map_batches(
+            block_count, batch_size=None, batch_format="pyarrow"
+        ).take_all()  # bounded: ONE row per block
+    ]
+    # take_all() preserves dataset order, and after .sort() block order
+    # IS the total order — so accumulating in list order yields each
+    # block's exclusive prefix (pack_training_sequences sorts by
+    # first_doc instead only because ITS order key is the doc_id)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for first_key, n in sums:
+        offsets[first_key] = acc
+        acc += n
+    import ray as _ray
+
+    off_handle = _ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "o_totalprice": pa.array([], pa.float64()),
+                 "seq": pa.array([], pa.int64())}
+            )
+        off = _ray.get(off_handle)[t.column("o_orderkey")[0].as_py()]
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"),
+             "o_totalprice": t.column("o_totalprice"),
+             "seq": pa.array(off + 1 + np.arange(len(t), dtype=np.int64))}
+        )
+
+    return ordered.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+_GLOBAL_RANK_SQL = """
+    SELECT o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS seq
+    FROM orders
+"""
+
+
 WINDOW_QUERIES = {
+    "global_rank_orders": global_rank_orders,
     "hourly_counts_densified": hourly_counts_densified,
     "retention_cohorts": retention_cohorts,
     "event_path_per_user": event_path_per_user,
@@ -778,6 +859,7 @@ WINDOW_QUERIES = {
 }
 
 WINDOW_ORACLE_SQL = {
+    "global_rank_orders": _GLOBAL_RANK_SQL,
     "hourly_counts_densified": _DENSIFIED_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "event_path_per_user": _EVENT_PATH_SQL,
