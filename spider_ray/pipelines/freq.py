@@ -447,6 +447,163 @@ def text_index_search(sf_dir: str, terms: tuple[str, ...] = INDEX_TERMS,
 
 
 # ---------------------------------------------------------------------------
+# positional index + exact phrase search
+# ---------------------------------------------------------------------------
+
+PHRASE = ("fast", "merge")  # pinned phrase (adjacent in the filtered stream)
+_POS_PACK = 1 << 32         # (doc_id, pos) packed into one int64 join key
+
+
+def default_pos_index_dir(sf_dir: str, n_buckets: int) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/spider_ray_indexes/text_pos_{key}_b{n_buckets}"
+
+
+def build_text_index_pos(sf_dir: str, index_dir: str | None = None,
+                         n_buckets: int = INDEX_BUCKETS) -> str:
+    """Positional inverted index: one (term, doc_id, pos) row PER
+    OCCURRENCE (build_text_index keeps only distinct (term, doc));
+    pos is the token's index in the filtered term stream, so phrase
+    adjacency is pos arithmetic.  Same hash-bucket parquet layout and
+    atomic-rename build as the non-positional index."""
+    index_dir = index_dir or default_pos_index_dir(sf_dir, n_buckets)
+    if os.path.exists(os.path.join(index_dir, "_META")):
+        return index_dir
+    tmp = index_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        terms: list[str] = []
+        poss: list[int] = []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            for i, w in enumerate(_terms(txt)):
+                ids.append(did)
+                terms.append(w)
+                poss.append(i)
+        buckets = [_term_bucket(w, n_buckets) for w in terms]
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        b = int(t.column("bucket")[0].as_py())
+        t = t.drop_columns(["bucket"])
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("term", "ascending"), ("doc_id", "ascending"),
+                          ("pos", "ascending")]
+        ))
+        d = os.path.join(tmp, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t, os.path.join(d, "part-0.parquet"))
+        return pa.table({"bucket": pa.array([b], pa.int32()),
+                         "rows": pa.array([len(t)], pa.int64())})
+
+    (
+        ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(postings, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    with open(os.path.join(tmp, "_META"), "w") as f:
+        f.write(f"n_buckets={n_buckets}\n")
+    try:
+        os.rename(tmp, index_dir)
+    except OSError:
+        if not os.path.exists(os.path.join(index_dir, "_META")):
+            raise
+    return index_dir
+
+
+def phrase_search_documents(sf_dir: str, phrase: tuple[str, ...] = PHRASE,
+                            index_dir: str | None = None,
+                            n_buckets: int = INDEX_BUCKETS):
+    """Exact phrase search over the positional index: (doc_id, n_hits)
+    for every document containing the phrase's terms at consecutive
+    positions of the filtered token stream.
+
+    Scale shape: reads ONLY the bucket partitions the phrase's terms
+    hash to (the IVF/index-layout pattern); adjacency is a chain of
+    key-only SEMI joins on the packed (doc_id, pos) int64 — term i's
+    postings shifted by -i all collapse onto term 0's key space, so
+    each join ships one int64 column per side and the candidate set
+    shrinks monotonically with each term.  The final per-doc count is
+    one partial-aggregated groupby.  Never touches the corpus text."""
+    index_dir = build_text_index_pos(sf_dir, index_dir, n_buckets)
+    needed = sorted({_term_bucket(w, n_buckets) for w in phrase})
+    files = []
+    for b in needed:
+        d = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_hits": pa.array([], pa.int64())})
+    if not files:
+        return ray.data.from_arrow(empty)
+    postings = ray.data.read_parquet(
+        files, columns=["term", "doc_id", "pos"]
+    ).materialize()
+
+    def packed(term: str, shift: int):
+        def f(t: pa.Table) -> pa.Table:
+            kept = t.filter(pc.equal(t.column("term"), term))
+            d = kept.column("doc_id").to_numpy(zero_copy_only=False)
+            p = kept.column("pos").to_numpy(zero_copy_only=False)
+            m = p >= shift  # a term at pos < shift can't end a prefix
+            return pa.table(
+                {"k": pa.array(d[m] * _POS_PACK + (p[m] - shift))}
+            )
+        return f
+
+    matches = postings.map_batches(packed(phrase[0], 0),
+                                   batch_format="pyarrow")
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.map_batches(packed(term, i), batch_format="pyarrow")
+        matches = ops.partitioned_hash_join(matches, nxt, on="k", how="semi")
+
+    return ops.partial_sum_agg(
+        matches,
+        pre=lambda t: pa.table(
+            {"doc_id": pc.divide(t.column("k"), _POS_PACK)}
+        ),
+        keys=["doc_id"], sums={}, counts="n_hits", bounded=False,
+    ).sort("doc_id")
+
+
+def _phrase_sql(phrase: tuple[str, ...] = PHRASE) -> str:
+    conds = " AND ".join(
+        f"ws[i + {j}] = '{w}'" for j, w in enumerate(phrase)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                         w -> length(w) >= 3) AS ws
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             CAST(len(list_filter(range(1, len(ws) - {len(phrase) - 2}),
+                                  i -> {conds})) AS BIGINT) AS n_hits
+      FROM d
+    )
+    SELECT doc_id, n_hits FROM hits WHERE n_hits >= 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -454,10 +611,12 @@ FREQ_QUERIES = {
     "heavy_hitters_terms": heavy_hitters_terms,
     "bigram_counts_documents": bigram_counts_documents,
     "text_index_search": text_index_search,
+    "phrase_search_documents": phrase_search_documents,
     "unigram_lm_score_documents": unigram_lm_score_documents,
 }
 
 FREQ_ORACLE_SQL = {
+    "phrase_search_documents": _phrase_sql(),
     "unigram_lm_score_documents": f"""
         WITH toks AS (
           SELECT doc_id,

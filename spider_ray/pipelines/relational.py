@@ -1628,6 +1628,45 @@ _EXPORT_PARTITIONED_SQL = """
 """
 
 
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def unpivot_lineitem_measures(sf_dir: str):
+    """UNPIVOT/melt: the four lineitem measures to long form
+    (l_orderkey, l_linenumber, measure, value) — the inverse of
+    pivot_events_by_type.  Shuffle-free: each batch emits its own
+    4x-long slice (row order inside a batch is irrelevant to the
+    driver's order-insensitive hash), measure names come from a
+    constant-size dictionary column.  Values stay e2/e6-free: the
+    measures are exact 2-decimal doubles in the fixture and the twin
+    reads the SAME parquet doubles, so no cast is needed."""
+    ds = ops.read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber"] + _UNPIVOT_MEASURES,
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        parts = []
+        for m in _UNPIVOT_MEASURES:
+            parts.append(pa.table({
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "measure": pa.array([m] * n, pa.string()),
+                "value": t.column(m).cast(pa.float64()),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+_UNPIVOT_SQL = " UNION ALL ".join(
+    f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, "
+    f"CAST({m} AS DOUBLE) AS value FROM lineitem"
+    for m in _UNPIVOT_MEASURES
+)
+
+
 ORACLE_SQL: dict[str, str] = {
     "revenue_cube_flag_status": """
         SELECT l_returnflag, l_linestatus,
@@ -1889,9 +1928,11 @@ ORACLE_SQL: dict[str, str] = {
     "profile_lineitem_columns": _PROFILE_SQL,
     "skyline_orders": _SKYLINE_SQL,
     "export_documents_partitioned": _EXPORT_PARTITIONED_SQL,
+    "unpivot_lineitem_measures": _UNPIVOT_SQL,
 }
 
 QUERIES = {
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "filter_lineitem": filter_lineitem,
     "agg_by_returnflag": agg_by_returnflag,
     "topk_customers_by_acctbal": topk_customers_by_acctbal,

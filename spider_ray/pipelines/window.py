@@ -483,6 +483,36 @@ def rank_orders_per_customer(sf_dir: str):
     )
 
 
+def cume_dist_orders_per_customer(sf_dir: str):
+    """cume_dist window: per customer, the fraction of that customer's
+    orders priced <= this one (ties share the value).  Same
+    one-shuffle skeleton as rank_orders_per_customer; the double is
+    the IDENTICAL IEEE division count_le/n on both sides (pandas
+    rank(method='max') is exactly count_le), so the floats hash
+    exactly — the e2 cents cast makes tie groups identical too."""
+    ds = ops.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    n_parts = ops.cluster_parts()
+
+    def cume(g: pd.DataFrame) -> pd.DataFrame:
+        p2 = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        g = g.assign(price_e2=p2)
+        grp = g.groupby("o_custkey", sort=False)
+        le = grp["price_e2"].rank(method="max").to_numpy()  # count <= value
+        n = grp["price_e2"].transform("size").to_numpy()
+        g = g.assign(cd=le / n)
+        return g[["o_orderkey", "o_custkey", "cd"]]
+
+    return (
+        ds.repartition(n_parts)
+        .sort("o_custkey")
+        .map_batches(cume, batch_size=None, batch_format="pandas")
+    )
+
+
 def ntile_orders_per_customer(sf_dir: str, n_tiles: int = 4):
     """NTILE + percent_rank windows: per customer, each order's
     quartile bucket and its percent_rank by (totalprice ASC, orderkey).
@@ -848,6 +878,7 @@ WINDOW_QUERIES = {
     "event_next_type_lead": event_next_type_lead,
     "first_last_order_per_customer": first_last_order_per_customer,
     "ntile_orders_per_customer": ntile_orders_per_customer,
+    "cume_dist_orders_per_customer": cume_dist_orders_per_customer,
     "rolling_sum_events": rolling_sum_events,
     "rank_orders_per_customer": rank_orders_per_customer,
     "event_gaps_lag": event_gaps_lag,
@@ -881,6 +912,14 @@ WINDOW_ORACLE_SQL = {
           PARTITION BY o_custkey
           ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    "cume_dist_orders_per_customer": """
+        SELECT o_orderkey, o_custkey, cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (
+          PARTITION BY o_custkey
+          ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
         )
     """,
     "ntile_orders_per_customer": """

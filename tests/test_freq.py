@@ -85,6 +85,46 @@ def test_text_index_reads_only_needed_buckets(ray_session, tmp_path):
     assert got.equals(want)
 
 
+def test_phrase_search_reads_only_needed_buckets(ray_session, tmp_path):
+    """Positional-index twin of the read-spy proof: delete every bucket
+    the phrase's terms do NOT hash to; the phrase result is
+    byte-identical, and a brute-force scan over the corpus confirms
+    the hit counts."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    full_dir = str(tmp_path / "pidx")
+    freq.build_text_index_pos(SF, full_dir)
+    want = freq.phrase_search_documents(SF, index_dir=full_dir).to_pandas()
+    assert len(want) > 0  # pinned phrase must be non-vacuous
+
+    pruned_dir = str(tmp_path / "pidx_pruned")
+    shutil.copytree(full_dir, pruned_dir)
+    needed = {freq._term_bucket(t, freq.INDEX_BUCKETS) for t in freq.PHRASE}
+    removed = 0
+    for d in os.listdir(pruned_dir):
+        if d.startswith("bucket=") and int(d.split("=")[1]) not in needed:
+            shutil.rmtree(os.path.join(pruned_dir, d))
+            removed += 1
+    assert removed > 0
+    got = freq.phrase_search_documents(SF, index_dir=pruned_dir).to_pandas()
+    assert got.equals(want)
+
+    # brute-force twin over the raw corpus
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exp = {}
+    L = len(freq.PHRASE)
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        ws = freq._terms(txt)
+        n = sum(1 for i in range(len(ws) - L + 1)
+                if tuple(ws[i:i + L]) == freq.PHRASE)
+        if n:
+            exp[did] = n
+    assert dict(zip(want["doc_id"], want["n_hits"])) == exp
+
+
 def test_index_build_idempotent(ray_session, tmp_path):
     d = str(tmp_path / "idx")
     p1 = freq.build_text_index(SF, d)
