@@ -619,7 +619,21 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
     ds = ops.read_table(
         sf_dir, "embeddings", columns=["vec_id", "embedding"]
     ).materialize()
+    cents, sizes = _kmeans_train(ds, k, iterations)
+    dim = cents.shape[1]
+    out = pa.table({
+        "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
+        "pos": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), k)),
+        "centroid_e6": pa.array(cents.reshape(-1)),
+        "n": pa.array(np.repeat(sizes, dim)),
+    })
+    return ray.data.from_arrow(out)
 
+
+def _kmeans_train(ds, k: int, iterations: int):
+    """The Lloyd training loop of kmeans_embeddings, factored out so
+    cluster-consuming operators (semdedup_embeddings) reuse the exact
+    same centroids.  Returns (cents (k, dim) int64 e6, sizes (k,))."""
     # --- init: the k smallest vec_ids' quantized embeddings.
     # Per-batch top-k keeps the driver collect bounded at k x blocks.
     def seed_partial(t: pa.Table) -> pa.Table:
@@ -675,34 +689,110 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
         nonempty = sizes > 0
         cents[nonempty] = sums[nonempty] // sizes[nonempty, None]
 
-    out = pa.table({
-        "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
-        "pos": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), k)),
-        "centroid_e6": pa.array(cents.reshape(-1)),
-        "n": pa.array(np.repeat(sizes, dim)),
-    })
-    return ray.data.from_arrow(out)
+    return cents, sizes
 
 
-def _kmeans_sql(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
-    """Unrolled-CTE twin: c0 = seeds, then per iteration an assignment
-    CTE (full argmin over summed squared L2 — same order as the Ray
-    side's reduced score) and an update CTE (floor division via the
-    pymod identity; COALESCE keeps empty clusters' previous centroid)."""
-    steps = []
-    prev = "c0"
-    for i in range(1, iterations + 1):
-        steps.append(f"""a{i} AS (
+SEMDEDUP_THRESHOLD = 0.4  # calibrated like embedding_near_dup's (max ~0.51)
+
+
+def semdedup_embeddings(sf_dir: str, k: int = KMEANS_K,
+                        iterations: int = KMEANS_ITERS,
+                        threshold: float = SEMDEDUP_THRESHOLD):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): train
+    k-means, assign every vector to its nearest centroid, and inside
+    each cluster drop any vector whose cosine similarity to a LOWER-id
+    cluster-mate reaches the threshold.  Clustering first is what makes
+    semantic dedup tractable — the quadratic check runs per cluster,
+    never across the corpus.
+
+    Output: (vec_id, cluster, kept) for every vector.  Exactness:
+    centroids/assignment are the e6-int64 Lloyd machinery of
+    kmeans_embeddings (same argmin, same tie rule); the in-cluster
+    cosine is the float64 dot/norm kernel of embedding_near_dup, which
+    bit-agrees with DuckDB's list_cosine_similarity at this scale.
+
+    Scale shape: ONE shuffle — vectors range-partition on their
+    cluster id; the O(|cluster|^2) matmul is bounded by cluster
+    granularity (k is chosen so corpus/k fits a worker — the SemDeDup
+    paper's own requirement), and the pruning rule needs no order
+    beyond vec_id, so each cluster resolves independently."""
+    ds = ops.read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).materialize()
+    cents, _sizes = _kmeans_train(ds, k, iterations)
+    c = cents
+    cc = (c * c).sum(axis=1)
+    dim = c.shape[1]
+    thr = threshold
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "emb": pa.array([], pa.binary())})
+        x = _quantize_e6(t, dim)
+        a = np.argmin(cc[None, :] - 2 * (x @ c.T), axis=1)
+        flat = (t.column("embedding").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False))
+        mat = flat.astype(np.float64).reshape(-1, dim)
+        return pa.table({
+            "vec_id": t.column("vec_id").cast(pa.int64()),
+            "cluster": pa.array(a.astype(np.int64)),
+            "emb": pa.array([v.tobytes() for v in mat], pa.binary()),
+        })
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                              "cluster": pd.Series([], dtype="int64"),
+                              "kept": pd.Series([], dtype="int64")})]
+        for cl, sub in g.groupby("cluster", sort=True):
+            sub = sub.sort_values("vec_id")
+            m = np.stack([np.frombuffer(x, np.float64) for x in sub["emb"]])
+            nrm = np.linalg.norm(m, axis=1)
+            sim = (m @ m.T) / np.clip(np.outer(nrm, nrm), 1e-12, None)
+            dup = (np.tril(sim, -1) >= thr).any(axis=1)
+            outs.append(pd.DataFrame({
+                "vec_id": sub["vec_id"].to_numpy(),
+                "cluster": sub["cluster"].to_numpy(),
+                "kept": (~dup).astype("int64"),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(assign_batch, batch_format="pyarrow")
+        .map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
+        .sort("cluster")
+        .map_batches(prune, batch_size=None, batch_format="pandas")
+        .sort("vec_id")
+    )
+
+
+def _assign_cte(name: str, cents: str) -> str:
+    """Assignment CTE: full argmin over summed squared L2 — same order
+    as the Ray side's reduced ``||c||^2 - 2 x.c`` score, ties to the
+    smallest cluster id."""
+    return f"""{name} AS (
       SELECT vec_id, cluster FROM (
         SELECT p.vec_id, c.cluster,
                ROW_NUMBER() OVER (
                  PARTITION BY p.vec_id
                  ORDER BY SUM((p.x - c.c) * (p.x - c.c)) ASC, c.cluster ASC
                ) AS rn
-        FROM pts p JOIN {prev} c USING (pos)
+        FROM pts p JOIN {cents} c USING (pos)
         GROUP BY p.vec_id, c.cluster
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _kmeans_ctes(k: int, iterations: int) -> str:
+    """Shared unrolled-CTE body (pts, seeds, c0, a1..c{it}) for the
+    kmeans and semdedup twins: per iteration an assignment CTE and an
+    update CTE (floor division via the pymod identity; COALESCE keeps
+    empty clusters' previous centroid)."""
+    steps = []
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""{_assign_cte(f'a{i}', prev)},
     u{i} AS (
       SELECT a.cluster, p.pos,
              CAST(SUM(p.x) AS BIGINT) AS s,
@@ -720,8 +810,7 @@ def _kmeans_sql(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
     )""")
         prev = f"c{i}"
     body = ",\n    ".join(steps)
-    return f"""
-    WITH pts AS (
+    return f"""pts AS (
       SELECT vec_id, CAST(pos AS BIGINT) AS pos,
              CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS x
       FROM (SELECT vec_id,
@@ -737,7 +826,12 @@ def _kmeans_sql(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
       SELECT CAST(s.cluster AS BIGINT) AS cluster, p.pos, p.x AS c
       FROM seeds s JOIN pts p USING (vec_id)
     ),
-    {body},
+    {body}"""
+
+
+def _kmeans_sql(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
+    return f"""
+    WITH {_kmeans_ctes(k, iterations)},
     sizes AS (
       SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
       FROM a{iterations} GROUP BY cluster
@@ -746,6 +840,26 @@ def _kmeans_sql(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
            CAST(COALESCE(sz.n, 0) AS BIGINT) AS n
     FROM c{iterations} c LEFT JOIN sizes sz USING (cluster)
     ORDER BY c.cluster, c.pos
+"""
+
+
+def _semdedup_sql(k: int = KMEANS_K, iterations: int = KMEANS_ITERS,
+                  threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    """kmeans CTEs + ONE extra assignment from the final centroids,
+    then the NOT-EXISTS pruning rule: a vector is kept iff no lower-id
+    member of its cluster is cosine-similar at the threshold."""
+    return f"""
+    WITH {_kmeans_ctes(k, iterations)},
+    {_assign_cte('af', f'c{iterations}')}
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN EXISTS (
+             SELECT 1
+             FROM af b JOIN embeddings eb ON b.vec_id = eb.vec_id
+             WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+               AND list_cosine_similarity(ea.embedding, eb.embedding)
+                   >= {threshold}
+           ) THEN 0 ELSE 1 END AS BIGINT) AS kept
+    FROM af a JOIN embeddings ea ON a.vec_id = ea.vec_id
 """
 
 
@@ -761,6 +875,7 @@ ANN_ORACLE_SQL = {
     # tests/test_ann.py
     "ann_ivf_topk": _BRUTEFORCE_SQL,
     "kmeans_embeddings": _kmeans_sql(),
+    "semdedup_embeddings": _semdedup_sql(),
     "ann_filtered_topk": _FILTERED_SQL,
     "hybrid_search_rrf": _HYBRID_SQL,
 }
@@ -775,6 +890,7 @@ ANN_QUERIES = {
     "ann_ivf_topk": _ann_ivf_exhaustive,
     "centroid_by_label_embeddings": centroid_by_label_embeddings,
     "kmeans_embeddings": kmeans_embeddings,
+    "semdedup_embeddings": semdedup_embeddings,
     "ann_filtered_topk": ann_filtered_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
 }

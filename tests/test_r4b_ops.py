@@ -71,6 +71,36 @@ def test_bfs_multi_source_takes_min(ray_session, tmp_path):
     assert got[3] == 2                                # part 1 via o5/o6
 
 
+# -- semdedup_embeddings -----------------------------------------------------
+
+def test_semdedup_drops_planted_copy_keeps_orthogonal(ray_session, tmp_path):
+    """Two orthogonal directions (-> 2 clusters with k=2); an exact
+    copy of vector 0 must be dropped (cosine 1 to a lower id), the
+    orthogonal vectors and the lowest-id member of each near-dup
+    family must survive."""
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],   # 0: keep (lowest id of its family)
+        [0.0, 1.0, 0.0, 0.0],   # 1: keep (orthogonal direction)
+        [1.0, 0.0, 0.0, 0.0],   # 2: exact copy of 0 -> dropped
+        [0.0, 0.9, 0.1, 0.0],   # 3: near-dup of 1 (cos ~0.994) -> dropped
+        [0.0, 0.0, 0.0, 1.0],   # 4: orthogonal to everything -> keep
+    ]
+    sf = _write(
+        tmp_path, "embeddings",
+        pa.table({
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array([np.asarray(v, np.float32) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }),
+    )
+    from spider_ray.pipelines.ann import semdedup_embeddings
+
+    got = {r["vec_id"]: r["kept"]
+           for r in semdedup_embeddings(sf, k=2, iterations=2,
+                                        threshold=0.9).take_all()}
+    assert got == {0: 1, 1: 1, 2: 0, 3: 0, 4: 1}
+
+
 # -- global_rank_orders ------------------------------------------------------
 
 def test_global_rank_multiblock_matches_single_block(ray_session, tmp_path):
