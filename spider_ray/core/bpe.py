@@ -95,6 +95,87 @@ def train_bpe(text: str, n_merges: int = N_MERGES) -> list[tuple[bytes, bytes]]:
     return merges
 
 
+def train_bpe_from_counts(
+    word_counts: list[tuple[str, int]], n_merges: int,
+) -> list[tuple[bytes, bytes, int]]:
+    """BPE training over a pre-aggregated (word, count) vocabulary —
+    the corpus-scale entry point (pipelines/textstats.train_bpe_vocab
+    computes the counts distributively; this merge loop is vocab-sized,
+    never corpus-sized).
+
+    Spec (mirrored by the independent naive twin in goldens.py —
+    change BOTH or neither):
+
+    * pair frequency counts adjacent symbol pairs with overlap
+      (``zip(syms, syms[1:])``), weighted by word count;
+    * each round merges the highest-count pair, ties broken on the
+      lexicographically smallest ``(left, right)`` byte tuple;
+    * a merge is applied left-to-right, non-overlapping (after a
+      replacement the scan re-checks the same index);
+    * stop when the best pair's count is < 2 or after ``n_merges``.
+
+    Returns ``(left, right, count_at_merge_time)`` triples.
+
+    Unlike the seed-corpus trainer above (full pair recount per round,
+    fine for a 9-line seed), this is INCREMENTAL: a pair -> word-index
+    posting map limits each round's recount to the words that actually
+    contain the merged pair, so a round costs O(words containing the
+    pair), not O(vocabulary)."""
+    words: list[list[bytes]] = []
+    freqs: list[int] = []
+    for w, f in word_counts:
+        words.append([bytes([b]) for b in w.encode("utf-8")])
+        freqs.append(int(f))
+
+    def word_pairs(syms: list[bytes]) -> Counter:
+        c: Counter = Counter()
+        for a, b in zip(syms, syms[1:]):
+            c[(a, b)] += 1
+        return c
+
+    pair_counts: Counter = Counter()
+    posting: dict[tuple[bytes, bytes], set[int]] = {}
+    for wi, (syms, f) in enumerate(zip(words, freqs)):
+        for p, k in word_pairs(syms).items():
+            pair_counts[p] += k * f
+            posting.setdefault(p, set()).add(wi)
+
+    merges: list[tuple[bytes, bytes, int]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        # highest count, then smallest (left, right) byte pair
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), count = best
+        if count < 2:
+            break
+        merges.append((left, right, count))
+        merged = left + right
+        for wi in sorted(posting.get((left, right), ())):
+            syms, f = words[wi], freqs[wi]
+            before = word_pairs(syms)
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i: i + 2] = [merged]
+                else:
+                    i += 1
+            after = word_pairs(syms)
+            for p in before.keys() | after.keys():
+                d = after.get(p, 0) - before.get(p, 0)
+                if d:
+                    pair_counts[p] += d * f
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                if after.get(p, 0):
+                    posting.setdefault(p, set()).add(wi)
+                elif p in posting:
+                    posting[p].discard(wi)
+        posting.pop((left, right), None)
+        pair_counts.pop((left, right), None)
+    return merges
+
+
 def save_merges(merges: list[tuple[bytes, bytes]], path: str = MERGES_PATH) -> None:
     with open(path, "w", encoding="utf-8") as f:
         f.write("# spider_ray vendored BPE merge table — regenerate with"
