@@ -230,6 +230,7 @@ _GATE_HEADS: list[str] = [
     "lang_distribution_documents", "tfidf_top_terms",
     "stratified_sample_documents", "redact_pii_documents",
     "decontaminate_documents", "chunk_documents", "chunk_documents_bpe",
+    "train_bpe_vocab",
     "fingerprint_documents", "repetition_ratio_documents",
     "clean_corpus_pipeline",
     # dedup family (judge-graded first-class)

@@ -84,6 +84,7 @@ QUERY_NAMES = [
     "scrub_dup_spans",
     "corr_qty_price_by_flag",
     "pack_training_sequences",
+    "train_bpe_vocab",
     "ntile_orders_per_customer",
     "dedup_keep_best_documents",
     "unigram_lm_score_documents",

@@ -360,6 +360,57 @@ def chunk_bpe_golden(sf_dir: str = SF_DIR) -> pa.Table:
     })
 
 
+def train_bpe_golden(sf_dir: str = SF_DIR, n_merges: int = 200,
+                     vocab_cap: int = 20) -> pa.Table:
+    """Independent naive twin of pipelines/textstats.train_bpe_vocab +
+    core/bpe.train_bpe_from_counts: same spec (word = \\S+ run; vocab
+    capped to the ``vocab_cap`` most frequent words, ties word-asc;
+    each round merges the highest-count adjacent pair with overlap
+    counting, ties on smallest (left, right) bytes; merge applied
+    left-to-right re-checking the same index; stop below count 2) —
+    but FULL pair recount every round, no posting map, no Ray."""
+    from collections import Counter
+
+    word_re = re.compile(r"\S+")
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    freq: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        freq.update(word_re.findall(txt))
+    vocab = sorted(freq.items(), key=lambda wc: (-wc[1], wc[0]))[:vocab_cap]
+
+    words = [([bytes([b]) for b in w.encode("utf-8")], f) for w, f in vocab]
+    ranks, lefts, rights, pcounts = [], [], [], []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        best_pair = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best_pair] < 2:
+            break
+        ranks.append(rank)
+        lefts.append(best_pair[0].hex())
+        rights.append(best_pair[1].hex())
+        pcounts.append(pairs[best_pair])
+        merged = best_pair[0] + best_pair[1]
+        for syms, _f in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == best_pair[0] and syms[i + 1] == best_pair[1]:
+                    syms[i: i + 2] = [merged]
+                else:
+                    i += 1
+    return pa.table({
+        "rank": pa.array(ranks, pa.int64()),
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "pair_count": pa.array(pcounts, pa.int64()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "chunk_documents_bpe": chunk_bpe_golden,
@@ -369,6 +420,7 @@ GOLDENS = {
     "simhash_dedup_documents": simhash_pairs_golden,
     "decode_media_fake": decode_media_golden,
     "decode_media_features": decode_media_features_golden,
+    "train_bpe_vocab": train_bpe_golden,
     "crawl_flagship": crawl_flagship_golden,
     "crawl_revisit": crawl_revisit_golden,
 }

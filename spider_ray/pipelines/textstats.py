@@ -578,6 +578,80 @@ def chunk_documents_bpe(sf_dir: str, concurrency=(1, 8)):
     )
 
 
+_BPE_TRAIN_MERGES = 200
+_BPE_TRAIN_VOCAB_CAP = 20
+
+
+def train_bpe_vocab(sf_dir: str, n_merges: int = _BPE_TRAIN_MERGES,
+                    vocab_cap: int = _BPE_TRAIN_VOCAB_CAP) -> pa.Table:
+    """Distributed BPE tokenizer TRAINING over the documents corpus
+    (Sennrich et al. 2016, byte-level) — the missing half of the
+    chunk_documents_bpe family: that one applies a vendored merge
+    table, this one LEARNS the table from the corpus.
+
+    Scale shape (the standard industrial split, e.g. HF tokenizers /
+    SentencePiece pre-count mode): the corpus-sized work is ONLY the
+    word count — per-batch Counter partials folded by a single
+    bounded=False partial_sum_agg shuffle — then the vocabulary is
+    capped to the ``vocab_cap`` most frequent words (count desc, word
+    asc; local per-block top-cap prunes the sort input to <= cap rows
+    per block, so the cap costs one small single-block sort), and the
+    merge loop runs driver-side on that BOUNDED (word, count) table.
+    At 100 TB the collect is <= vocab_cap rows regardless of corpus
+    size; the loop itself is incremental (pair -> word posting map,
+    core/bpe.train_bpe_from_counts).
+
+    Oracle: pinned sequential golden (goldens.py train_bpe_golden — an
+    independent naive full-recount trainer over the same spec).
+    Output: (rank, left, right, pair_count), symbols hex-encoded so
+    non-UTF-8 byte boundaries survive parquet string columns."""
+    import pyarrow.compute as _pc
+
+    ds = ops.read_table(sf_dir, "documents", columns=["text"])
+    word_re = re.compile(r"\S+")
+
+    def word_counts(t: pa.Table) -> pa.Table:
+        c: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for w in word_re.findall(txt):
+                c[w] = c.get(w, 0) + 1
+        return pa.table({
+            "word": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = ops.partial_sum_agg(
+        ds.map_batches(word_counts, batch_format="pyarrow"),
+        keys=["word"], sums={"cnt": "cnt"}, counts=None, bounded=False,
+    )
+
+    # cap to the vocab_cap most frequent words (ties: word ascending).
+    # mixed sort direction, so ops.top_k (single-direction) doesn't fit.
+    order = [("cnt", "descending"), ("word", "ascending")]
+
+    def local_cap(t: pa.Table) -> pa.Table:
+        return t.take(_pc.sort_indices(t, sort_keys=order)[:vocab_cap])
+
+    capped = (
+        counts.map_batches(local_cap, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_cap, batch_format="pyarrow")
+    )
+    rows = capped.take_all()  # bounded: <= vocab_cap rows
+    vocab = sorted(((r["word"], r["cnt"]) for r in rows),
+                   key=lambda wc: (-wc[1], wc[0]))
+
+    from spider_ray.core.bpe import train_bpe_from_counts
+
+    merges = train_bpe_from_counts(vocab, n_merges)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0].hex() for m in merges], pa.string()),
+        "right": pa.array([m[1].hex() for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
 def clean_corpus_pipeline(sf_dir: str):
     """SURVEY §2.10 flagship: a corpus-prep pipeline ASSEMBLED FROM A
     CONFIG LIST via the Step protocol (spider_ray.steps) — English
@@ -1164,6 +1238,9 @@ TEXT_ORACLE_SQL = {
     # (goldens.py applies the vendored merge table with an independent
     # naive min-rank scan)
     "chunk_documents_bpe": golden_sql("chunk_documents_bpe"),
+    # greedy merge loop is iterative argmax with state — not
+    # SQL-expressible; pinned sequential golden (full-recount twin)
+    "train_bpe_vocab": golden_sql("train_bpe_vocab"),
     # the chained CTE of the standalone twins: lang filter, \S+ token
     # bounds, word-trigram repetition cap, 64/16 chunking
     "clean_corpus_pipeline": r"""
@@ -1268,5 +1345,6 @@ TEXT_QUERIES = {
     "repetition_ratio_documents": repetition_ratio_documents,
     "chunk_documents": chunk_documents,
     "chunk_documents_bpe": chunk_documents_bpe,
+    "train_bpe_vocab": train_bpe_vocab,
     "clean_corpus_pipeline": clean_corpus_pipeline,
 }

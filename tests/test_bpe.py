@@ -100,3 +100,71 @@ def test_chunk_bpe_query_matches_golden(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+# --- train_bpe_from_counts (the incremental corpus-scale trainer) ---------
+
+def _naive_train(word_counts, n_merges):
+    """Brute full-recount reference of the same spec (mirrors
+    goldens.train_bpe_golden's loop)."""
+    from collections import Counter
+
+    words = [([bytes([b]) for b in w.encode("utf-8")], f)
+             for w, f in word_counts]
+    out = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < 2:
+            break
+        out.append((best[0], best[1], pairs[best]))
+        merged = best[0] + best[1]
+        for syms, _f in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == best[0] and syms[i + 1] == best[1]:
+                    syms[i: i + 2] = [merged]
+                else:
+                    i += 1
+    return out
+
+
+def test_incremental_trainer_matches_naive_recount():
+    from spider_ray.core.bpe import train_bpe_from_counts
+
+    cases = [
+        # overlapping-pair pathology: "aaaa" counts (a,a) with overlap
+        # but merges non-overlapping left-to-right
+        [("aaaa", 5), ("aaa", 3), ("ab", 7)],
+        # ties everywhere: forces the (left, right) lexicographic break
+        [("ab", 2), ("ba", 2), ("cd", 2), ("dc", 2)],
+        # realistic mixed vocab incl. multi-byte utf-8
+        [("the", 50), ("then", 20), ("them", 20), ("über", 9),
+         ("crawl", 13), ("crawler", 7), ("data", 30), ("date", 11)],
+        # single word, count 1 -> every pair count < 2, zero merges
+        [("xyz", 1)],
+    ]
+    for wc in cases:
+        assert train_bpe_from_counts(wc, 64) == _naive_train(wc, 64), wc
+
+
+def test_incremental_trainer_matches_naive_on_random_vocab():
+    import random
+
+    from spider_ray.core.bpe import train_bpe_from_counts
+
+    rng = random.Random(42)
+    alphabet = "abcdeé"
+    for _ in range(10):
+        vocab = {}
+        for _w in range(rng.randint(2, 40)):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 8)))
+            vocab[w] = rng.randint(1, 30)
+        wc = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert train_bpe_from_counts(wc, 48) == _naive_train(wc, 48)
