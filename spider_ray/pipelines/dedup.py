@@ -730,16 +730,22 @@ def embedding_near_dup_lsh(sf_dir: str, cosine_threshold: float = 0.8,
 def ngram_jaccard_pairs(sf_dir: str, n: int = 5, thr_e6: int = 300_000):
     """EXACT n-gram set-similarity join (D4 family, exact variant —
     distinct from the MinHash estimate): char-``n``-gram shingle sets,
-    candidate pairs from an inverted shingle->docs index (ONE groupby
-    on the shingle), intersection sizes aggregated distributed, set
-    sizes attached via partitioned hash joins, Jaccard in e6 fixed
-    point (same IEEE op order as the DuckDB twin, so bit-exact).
+    candidate pairs from an inverted shingle->docs index (one sort on
+    the shingle, vectorized within-run pair expansion), intersection
+    sizes aggregated distributed, Jaccard in e6 fixed point (same IEEE
+    op order as the DuckDB twin, so bit-exact).
 
-    Scale shape: the shuffle carries (shingle, doc_id) rows and then
-    (a_id, b_id) candidate rows — never documents.  Candidate volume is
-    O(sum_g df(g)^2); that is the exact-join price.  On web-scale
-    corpora with hot shingles use minhash_lsh_pairs (banded, capped) —
-    this op is the verify-grade exact join for bounded buckets."""
+    Scale shape: ONE scan, TWO shuffles total.  Each (g, doc_id) row
+    carries its doc's shingle-set size ``n_doc`` (known at shingle
+    time, a per-row int64), so the pair rows leave candidate expansion
+    already holding n_a/n_b and no size join — or second corpus scan —
+    exists; v1 scanned the shingle table three times (intersection +
+    two partitioned size joins).  The shuffles carry (g, doc_id, n)
+    rows and then (a_id, b_id, n_a, n_b) candidate rows — never
+    documents.  Candidate volume is O(sum_g df(g)^2); that is the
+    exact-join price.  On web-scale corpora with hot shingles use
+    minhash_lsh_pairs (banded, capped) — this op is the verify-grade
+    exact join for bounded buckets."""
     ds = ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def shingle_rows(t: pa.Table) -> pa.Table:
@@ -748,52 +754,79 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 5, thr_e6: int = 300_000):
         # hot verify loop)
         ids: list[int] = []
         grams: list[str] = []
+        sizes: list[int] = []
         for did, txt in zip(
             t.column("doc_id").to_pylist(), t.column("text").to_pylist()
         ):
             gs = {txt[i : i + n] for i in range(len(txt) - n + 1)}
             ids.extend([did] * len(gs))
             grams.extend(gs)
+            sizes.extend([len(gs)] * len(gs))
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "g": pa.array(grams, pa.string())}
+            {"doc_id": pa.array(ids, pa.int64()),
+             "g": pa.array(grams, pa.string()),
+             "n_doc": pa.array(sizes, pa.int64())}
         )
 
     sh = ds.map_batches(shingle_rows, batch_format="pyarrow")
 
-    _EMPTY_PAIRS = pa.table(
-        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
-    )
-
-    def gram_pairs(g: pd.DataFrame) -> pa.Table:
-        ids = np.sort(g["doc_id"].to_numpy(np.int64))
-        if len(ids) < 2:
-            return _EMPTY_PAIRS
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+    def gram_pairs_block(t: pa.Table) -> pa.Table:
+        # block is sorted by (g, doc_id) and holds ALL rows of its
+        # shingles (range partition never splits equal keys —
+        # tests/test_sort_invariant.py); expand every within-run pair
+        # (i < j) for every run AT ONCE with index arithmetic — no
+        # per-group call, no Python loop over the (many, tiny) shingle
+        # groups, which is what made the map_groups version the
+        # slowest gate query (14.5 s for 500 docs at sf0.01)
+        n_rows = t.num_rows
+        empty = pa.table(
+            {"a_id": pa.array([], pa.int64()),
+             "b_id": pa.array([], pa.int64()),
+             "n_a": pa.array([], pa.int64()),
+             "n_b": pa.array([], pa.int64())}
+        )
+        if n_rows < 2:
+            return empty
+        g = t.column("g").combine_chunks()
+        dids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = t.column("n_doc").to_numpy(zero_copy_only=False).astype(np.int64)
+        neq = pc.not_equal(g.slice(1), g.slice(0, n_rows - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        # per-element offset within its run; j contributes o_j pairs
+        # (one per smaller same-run index)
+        idx = np.arange(n_rows, dtype=np.int64)
+        boundary = np.concatenate(([True], neq))
+        # run_start[j] = index of the first row of j's run
+        run_start = np.maximum.accumulate(np.where(boundary, idx, 0))
+        o = idx - run_start
+        total = int(o.sum())
+        if total == 0:
+            return empty
+        b_idx = np.repeat(idx, o)
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(o) - o, o
+        )
+        a_idx = np.repeat(run_start, o) + ramp
+        # doc ids ascend within a run (sorted by (g, doc_id)), so
+        # a_id < b_id holds pairwise without a re-sort
         return pa.table(
-            {
-                "a_id": pa.array(ids[a_idx], pa.int64()),
-                "b_id": pa.array(ids[b_idx], pa.int64()),
-            }
+            {"a_id": pa.array(dids[a_idx]), "b_id": pa.array(dids[b_idx]),
+             "n_a": pa.array(ns[a_idx]), "n_b": pa.array(ns[b_idx])}
         )
 
-    inter = ops.partial_sum_agg(
-        sh.groupby("g").map_groups(gram_pairs, batch_format="pandas"),
-        keys=["a_id", "b_id"], sums={}, counts="inter",
+    candidates = (
+        sh.map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
+        .sort(["g", "doc_id"])
+        .map_batches(gram_pairs_block, batch_format="pyarrow")
+    )
+    # n_a/n_b are functions of a_id/b_id, so keying on the 4-tuple is
+    # the same grouping as the pair alone — and the fold output already
+    # holds everything the Jaccard needs
+    joined = ops.partial_sum_agg(
+        candidates,
+        keys=["a_id", "b_id", "n_a", "n_b"], sums={}, counts="inter",
         bounded=False,  # pair-count-sized key domain
-    )
-
-    sizes = ops.partial_sum_agg(sh, keys=["doc_id"], sums={}, counts="n",
-                                bounded=False)  # doc-count-sized
-    n_buckets = ops.cluster_parts()
-    sizes_a = sizes.map_batches(
-        lambda t: t.rename_columns(["a_id", "n_a"]), batch_format="pyarrow"
-    )
-    sizes_b = sizes.map_batches(
-        lambda t: t.rename_columns(["b_id", "n_b"]), batch_format="pyarrow"
-    )
-    joined = ops.partitioned_hash_join(
-        ops.partitioned_hash_join(inter, sizes_a, on="a_id", n_buckets=n_buckets),
-        sizes_b, on="b_id", n_buckets=n_buckets,
     )
 
     def jaccard(t: pa.Table) -> pa.Table:
