@@ -218,6 +218,7 @@ _GATE_HEADS: list[str] = [
     "topk_customers_by_acctbal", "dedup_events_by_user_type",
     "distinct_nations", "nations_except_asia_region",
     "orders_from_active_users_bloom", "events_tumbling_window",
+    "tpch_q3_shipping_priority",
     "orders_by_month", "sample_orders_hash", "events_json_extract",
     # window
     "sessionize_events", "grouped_topk_orders", "quantiles_lineitem",

@@ -37,13 +37,25 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        # RAY_ADDRESS other than "local" (e.g. the auto address a
+        # `ray job submit` runtime injects) means an existing cluster:
+        # attach to it and let the cluster own resource sizing —
+        # num_cpus is only legal when starting a fresh local instance
+        addr = os.environ.get("RAY_ADDRESS") or "local"
+        if addr == "local":
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        else:
+            ray.init(
+                address=addr,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     try:
         from spider_ray.core.config import load_crawl_config
         from spider_ray.crawl.driver import CrawlDriver

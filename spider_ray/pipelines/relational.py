@@ -558,6 +558,103 @@ def revenue_by_nation_asia(sf_dir: str):
     )
 
 
+_Q3_CUTOFF_US = 896_659_200_000_000  # 1998-06-01 in epoch microseconds
+
+
+def tpch_q3_shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H-Q3-style shipping priority: top-``k`` BUILDING-segment
+    orders by revenue still pending at the cutoff (ordered before it,
+    shipped after it).  Exercises the canonical select-project-join-
+    aggregate-topk composition as ONE pipeline.
+
+    Plan (shrink-monotone, like the Q5 twin above):
+
+      1. lineitem's shipdate filter + integer-cents revenue projection
+         run inside the per-order combine — the 4:1 fan-in folds
+         BEFORE any join, and the partial merge rides the join's own
+         shuffle (``unmerged`` + ``left_pre``);
+      2. ONE tagged-union co-partition join attaches the date-filtered
+         orders;
+      3. the BUILDING segment filter is a key-only co-partition join
+         against the filtered customer keys — customer is data-sized
+         at corpus scale, so no broadcast;
+      4. mixed-direction local top-k prunes every block to ``k`` rows
+         before a single-block final sort (the global shuffle sees
+         k x blocks rows, never the data).
+    """
+    li = ops.read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def pending_cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate").cast(pa.int64()),
+                                _Q3_CUTOFF_US))
+        disc = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(1.0, t.column("l_discount")),
+        )
+        rev = pc.floor(pc.add(pc.multiply(disc, 100.0), 0.5)).cast(pa.int64())
+        return pa.table(
+            {"order_key": t.column("l_orderkey"), "rev_c": rev}
+        )
+
+    per_order_parts, po_merge = ops.partial_sum_agg(
+        li, pre=pending_cents, keys=["order_key"],
+        sums={"rev_c": "rev_c"}, counts=None,
+        bounded=False, unmerged=True,  # order domain is data-sized
+    )
+
+    orders = ops.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def open_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderdate").cast(pa.int64()),
+                             _Q3_CUTOFF_US))
+        return t.rename_columns(["order_key", "o_custkey", "o_orderdate"])
+
+    joined = ops.partitioned_hash_join(
+        per_order_parts,
+        orders.map_batches(open_orders, batch_format="pyarrow"),
+        on="order_key", left_pre=po_merge,
+    )
+
+    customer = ops.read_table(sf_dir, "customer",
+                              columns=["c_custkey", "c_mktsegment"])
+
+    def building_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+        return pa.table({"o_custkey": t.column("c_custkey")})
+
+    filtered = ops.partitioned_hash_join(
+        joined,
+        customer.map_batches(building_keys, batch_format="pyarrow"),
+        on="o_custkey",
+    )
+
+    order = [("rev_c", "descending"), ("o_orderdate", "ascending"),
+             ("order_key", "ascending")]
+
+    def local_cap(t: pa.Table) -> pa.Table:
+        t = t.select(["order_key", "rev_c", "o_orderdate"])
+        return t.take(pc.sort_indices(t, sort_keys=order)[:k]).rename_columns(
+            ["order_key", "revenue_cents", "o_orderdate"]
+        )
+
+    final_order = [("revenue_cents", "descending"),
+                   ("o_orderdate", "ascending"), ("order_key", "ascending")]
+    return (
+        filtered.map_batches(local_cap, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: t.take(pc.sort_indices(t, sort_keys=final_order)[:k]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 INTERVAL_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -1888,6 +1985,25 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type
     """,
+    "tpch_q3_shipping_priority": """
+        WITH r AS (
+          SELECT l_orderkey AS order_key,
+                 CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS revenue_cents,
+                 o_orderdate
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-06-01'
+            AND l_shipdate > TIMESTAMP '1998-06-01'
+          GROUP BY 1, 3
+        )
+        SELECT order_key, revenue_cents, o_orderdate
+        FROM r ORDER BY revenue_cents DESC, o_orderdate, order_key
+        LIMIT 10
+    """,
     "revenue_by_nation_asia": """
         WITH per_cust AS (
           SELECT o_custkey,
@@ -1971,6 +2087,7 @@ QUERIES = {
     "median_price_by_flag": median_price_by_flag,
     "gini_event_type_by_user": gini_event_type_by_user,
     "revenue_by_nation_asia": revenue_by_nation_asia,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "mode_event_type_by_user": mode_event_type_by_user,
     "distinct_users_per_type": distinct_users_per_type,
     "histogram_extendedprice": histogram_extendedprice,

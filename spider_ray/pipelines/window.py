@@ -446,6 +446,54 @@ def rolling_sum_events(sf_dir: str, frame: int = 3):
     )
 
 
+_RANGE_FRAME_US = 3_600_000_000  # 1 hour
+
+
+def events_range_window_1h(sf_dir: str, frame_us: int = _RANGE_FRAME_US):
+    """Time-RANGE window frame (vs rolling_sum_events' ROWS frame):
+    per event, the count and e2-fixed-point sum of the SAME user's
+    events in the preceding hour — ``COUNT(*)/SUM() OVER (PARTITION BY
+    user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW)``.  SQL RANGE frames are peer-inclusive: rows sharing
+    the current timestamp count even when positioned later, so the
+    frame is [searchsorted-left of ts-1h, searchsorted-RIGHT of ts) —
+    two vectorized binary searches per user segment over the block's
+    (user, ts)-sorted arrays plus a prefix-sum difference; no per-row
+    loop, frames never cross the range-partition key."""
+    ds = ops.read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    n_parts = ops.cluster_parts()
+
+    def frame_agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        v2 = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(v2)))
+        n_out = np.empty(len(g), np.int64)
+        s_out = np.empty(len(g), np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1]))
+        )
+        ends = np.append(starts[1:], len(g))
+        for s, e in zip(starts, ends):
+            seg = us[s:e]
+            lo = s + np.searchsorted(seg, seg - frame_us, side="left")
+            hi = s + np.searchsorted(seg, seg, side="right")
+            n_out[s:e] = hi - lo
+            s_out[s:e] = csum[hi] - csum[lo]
+        return g.assign(n_1h=n_out, sum_value_e2_1h=s_out)[
+            ["event_id", "user_id", "n_1h", "sum_value_e2_1h"]
+        ]
+
+    return (
+        ds.repartition(n_parts)
+        .sort("user_id")
+        .map_batches(frame_agg, batch_size=None, batch_format="pandas")
+    )
+
+
 def rank_orders_per_customer(sf_dir: str):
     """Ranking window functions: per customer, each order's
     ``row_number`` and ``dense_rank`` by (totalprice DESC, orderkey).
@@ -880,6 +928,7 @@ WINDOW_QUERIES = {
     "ntile_orders_per_customer": ntile_orders_per_customer,
     "cume_dist_orders_per_customer": cume_dist_orders_per_customer,
     "rolling_sum_events": rolling_sum_events,
+    "events_range_window_1h": events_range_window_1h,
     "rank_orders_per_customer": rank_orders_per_customer,
     "event_gaps_lag": event_gaps_lag,
     "grouped_topk_orders": grouped_topk_orders,
@@ -939,6 +988,17 @@ WINDOW_ORACLE_SQL = {
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS roll_value_e2
         FROM events
+    """,
+    "events_range_window_1h": """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS sum_value_e2_1h
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
     """,
     "rank_orders_per_customer": """
         SELECT o_orderkey, o_custkey,

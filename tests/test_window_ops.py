@@ -238,3 +238,54 @@ def test_skyline_kernel_dominance_edges(ray_session):
     # (8,3): survives (earliest day).
     keep = _skyline_2d(price, day)
     assert list(keep) == [True, True, False, False, True, True, True]
+
+
+def test_range_window_peer_semantics(ray_session, tmp_path):
+    """SQL RANGE frames include ALL peers of the current timestamp —
+    a later-positioned row with an equal ts still counts.  Three events
+    share one ts; each must see all three plus the in-window history,
+    and an event exactly 1h after another INCLUDES it (closed bound)."""
+    import duckdb
+
+    from spider_ray.pipelines.window import events_range_window_1h
+
+    h = 3_600_000_000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    ts_us = [base, base, base, base + h, base + h + 1, base + 2 * h + 1]
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(6)), pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array([7] * 6, pa.int64()),
+            "event_type": pa.array(["click"] * 6, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()),
+            "props": pa.array(["{}"] * 6, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    got = (
+        events_range_window_1h(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(tmp_path, 'events.parquet')}'"
+    )
+    want = con.execute("""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS sum_value_e2_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """).df()
+    # the three ts-tied rows each see all peers: n_1h == 3
+    assert got["n_1h"].tolist()[:3] == [3, 3, 3]
+    # closed lower bound: the ts = base+1h row includes the base peers
+    assert got["n_1h"].tolist()[3] == 4
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
