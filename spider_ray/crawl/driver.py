@@ -112,16 +112,23 @@ def _round_dir(ckpt: str, k: int) -> str:
     return os.path.join(ckpt, f"round={k:04d}")
 
 
-def _write_ds(ds, dirpath: str, schema: pa.Schema, n_rows: int) -> int:
+def _write_ds(ds, dirpath: str, schema: pa.Schema, n_rows: int | None) -> int:
     """write_parquet driven by a KNOWN row count (derived from metrics)
     so no extra count/materialize execution is spent; empty outputs get
-    a readable empty file so read_parquet on the directory works."""
+    a readable empty file so read_parquet on the directory works.
+    ``n_rows=None`` = count not known yet (a sink submitted before its
+    metric resolves, to overlap more of the round): write first, then
+    backfill the empty file only if no part was produced."""
+    import glob as _glob
+
     os.makedirs(dirpath, exist_ok=True)
-    if n_rows == 0 or ds is None:
+    if ds is None or n_rows == 0:
         pq.write_table(schema.empty_table(), os.path.join(dirpath, "part-empty.parquet"))
-    else:
-        ds.write_parquet(dirpath)
-    return n_rows
+        return 0
+    ds.write_parquet(dirpath)
+    if n_rows is None and not _glob.glob(os.path.join(dirpath, "*.parquet")):
+        pq.write_table(schema.empty_table(), os.path.join(dirpath, "part-empty.parquet"))
+    return n_rows or 0
 
 
 def _col_sums(ds, cols: list[str]) -> dict:
@@ -680,6 +687,29 @@ class CrawlDriver:
             fut_sums = io_pool.submit(_col_sums, ex, sum_cols)
             hits = _filter_eq(ex, "found", 1)
 
+            # execution 10 — extracted-text + page-store sinks, submitted
+            # the moment ex is materialized (they consume only hit
+            # blocks) so they overlap the children shuffle AND the child
+            # histogram; the fetched count isn't known yet, so _write_ds
+            # backfills the empty marker itself (round 4: these sat
+            # behind e11's sums resolve and left ~8 s of exposed
+            # write-join at round end)
+            extracted_ds = hits.map_batches(
+                partial(_extracted_project, round_no=k), batch_format="pyarrow"
+            )
+            write_futs.append(
+                io_pool.submit(_write_ds, extracted_ds,
+                               os.path.join(tmp, "out"), EXTRACTED, None)
+            )
+            pagestate_ds = hits.map_batches(
+                partial(_pagestate_project, round_no=k), batch_format="pyarrow"
+            )
+            write_futs.append(
+                io_pool.submit(_write_ds, pagestate_ds,
+                               os.path.join(tmp, "pagestate"), PAGESTATE, None)
+            )
+            tt = _mark("e10 out-writes(submit)", tt)
+
             # execution 13 — per-domain fetch totals -> domain gates
             # (A4 rate), on a side thread overlapping the children
             # shuffle: nothing else this round touches gate fetch state
@@ -751,11 +781,8 @@ class CrawlDriver:
             m["links_out"] = ch.count()
             tt = _mark("e11 children", tt)
 
-            # resolve e9's sums (ran overlapped with e11) and launch the
-            # extracted-text + page-store writes (execution 10) on side
-            # threads — both consume the already-materialized hit blocks
-            # and feed nothing downstream this round (run_revisit reads
-            # pagestate from the finished checkpoint)
+            # resolve e9's sums (ran overlapped with e11); the out/
+            # pagestate sinks were already submitted right after e7
             sums = fut_sums.result()
             m["fetched"] = sums["found"]
             m["fetch_errors"] = m["selected"] - m["fetched"]
@@ -766,23 +793,7 @@ class CrawlDriver:
             m["links_raw"] = sums["links_raw"]
             for key in stages._COUNTER_KEYS:
                 m[key] = sums[key]
-            extracted_ds = hits.map_batches(
-                partial(_extracted_project, round_no=k), batch_format="pyarrow"
-            )
-            write_futs.append(
-                io_pool.submit(_write_ds, extracted_ds,
-                               os.path.join(tmp, "out"), EXTRACTED,
-                               m["fetched"])
-            )
-            pagestate_ds = hits.map_batches(
-                partial(_pagestate_project, round_no=k), batch_format="pyarrow"
-            )
-            write_futs.append(
-                io_pool.submit(_write_ds, pagestate_ds,
-                               os.path.join(tmp, "pagestate"), PAGESTATE,
-                               m["fetched"])
-            )
-            tt = _mark("e9-10 sums+out-writes(submit)", tt)
+            tt = _mark("e9 sums-join", tt)
 
             # execution 12 — child status histogram
             if m["links_out"]:
