@@ -27,6 +27,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -656,6 +657,13 @@ class CrawlDriver:
                     num_cpus=0.5,
                 )
             else:
+                # NOTE round-4: LPT scheduling (relabel buckets heaviest
+                # -> rank 0 so the longest fetch tasks launch first) was
+                # prototyped and measured here — no gain: e7 parallel
+                # efficiency 0.709 (LPT) vs 0.739 (plain) in same-pair
+                # runs; the sort barrier materializes all partitions
+                # before the map wave, so launch order is not the tail.
+                # See BENCH/BASELINE.md "Measured and rejected".
                 fetched = (
                     base.map_batches(
                         partial(stages.add_fetch_bucket,
