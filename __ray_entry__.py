@@ -225,7 +225,7 @@ _GATE_HEADS: list[str] = [
     "events_sliding_window", "pivot_events_by_type",
     "cumulative_revenue_by_priority", "global_rank_orders",
     # sketch
-    "approx_distinct_orders_hll",
+    "approx_distinct_orders_hll", "cms_term_counts",
     # text / training-data (judge-graded first-class)
     "quality_score_documents", "token_count_documents",
     "lang_distribution_documents", "tfidf_top_terms",

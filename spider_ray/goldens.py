@@ -360,6 +360,46 @@ def chunk_bpe_golden(sf_dir: str = SF_DIR) -> pa.Table:
     })
 
 
+def cms_golden(sf_dir: str = SF_DIR, d: int = 4, w: int = 2048,
+               threshold: int = 900) -> pa.Table:
+    """Sequential Count-Min twin of pipelines/sketch.cms_term_counts:
+    same pinned spec (row i probes sha1(f"{i}:{term}")[:8] big-endian
+    mod w; estimate = min over rows; report terms with estimate >=
+    threshold), built one document at a time with no numpy fold — a
+    linear sketch merges exactly, so the distributed engine must match
+    this bit-for-bit."""
+    term_re = re.compile(r"[a-z]+")
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    matrix = [[0] * w for _ in range(d)]
+    vocab: set[str] = set()
+
+    def cols(term: str) -> list[int]:
+        return [
+            int.from_bytes(
+                hashlib.sha1(f"{i}:{term}".encode()).digest()[:8], "big"
+            ) % w
+            for i in range(d)
+        ]
+
+    for txt in t.column("text").to_pylist():
+        for word in term_re.findall(txt.lower()):
+            if len(word) >= 3:
+                vocab.add(word)
+                for i, c in enumerate(cols(word)):
+                    matrix[i][c] += 1
+    terms, ests = [], []
+    for word in sorted(vocab):
+        e = min(matrix[i][c] for i, c in enumerate(cols(word)))
+        if e >= threshold:
+            terms.append(word)
+            ests.append(e)
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "est_count": pa.array(ests, pa.int64()),
+    })
+
+
 def train_bpe_golden(sf_dir: str = SF_DIR, n_merges: int = 200,
                      vocab_cap: int = 20) -> pa.Table:
     """Independent naive twin of pipelines/textstats.train_bpe_vocab +
@@ -421,6 +461,7 @@ GOLDENS = {
     "decode_media_fake": decode_media_golden,
     "decode_media_features": decode_media_features_golden,
     "train_bpe_vocab": train_bpe_golden,
+    "cms_term_counts": cms_golden,
     "crawl_flagship": crawl_flagship_golden,
     "crawl_revisit": crawl_revisit_golden,
 }

@@ -20,9 +20,14 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 
 import numpy as np
 import pyarrow as pa
+
+# same tokenizer as freq.heavy_hitters_terms / tfidf's SQL twin:
+# lowercase [a-z]+ runs of length >= 3
+_TERM_RE = re.compile(r"[a-z]+")
 
 from spider_ray import ops
 from spider_ray.goldens import golden_sql
@@ -105,8 +110,117 @@ def approx_distinct_orders_hll(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005) — point-frequency
+# estimates with fixed state; the approximate sibling of freq.py's
+# exact Misra-Gries heavy hitters.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4        # hash rows
+CMS_W = 2048     # counters per row
+CMS_THRESHOLD = 900  # report terms whose estimate reaches this
+
+
+def cms_cols(term: str) -> list[int]:
+    """Pinned per-term spec: row i probes column
+    sha1(f"{i}:{term}")[:8] big-endian mod CMS_W."""
+    return [
+        int.from_bytes(
+            hashlib.sha1(f"{i}:{term}".encode()).digest()[:8], "big"
+        ) % CMS_W
+        for i in range(CMS_D)
+    ]
+
+
+def cms_estimate(matrix: np.ndarray, term: str) -> int:
+    """Point query = min over the D probed counters (never
+    underestimates the true count)."""
+    return int(min(matrix[i, c] for i, c in enumerate(cms_cols(term))))
+
+
+def cms_term_counts(sf_dir: str, threshold: int = CMS_THRESHOLD):
+    """Approximate term-frequency heavy hitters over documents via a
+    Count-Min sketch: every term whose CMS estimate reaches
+    ``threshold``, with its estimate.  Estimates never undercount, so
+    the result is a SUPERSET of the true >= threshold terms — the
+    classic sketch trade, deterministic by pinned spec so the gate can
+    hash it.
+
+    Scale shape: CMS is a LINEAR sketch — per-batch local d x w
+    matrices merge by plain cell addition in any partitioning/order,
+    so the count pass shuffles at most d*w = 8192 cells per batch
+    regardless of corpus size, and the fold result is BIT-identical to
+    a sequential build (goldens.cms_golden is that twin).  The probe
+    pass broadcasts the folded 64 KB matrix via ray.put and streams
+    per-batch-distinct terms through it; candidate rows entering the
+    final dedupe are bounded by the terms above threshold (plus sketch
+    false positives), not the vocabulary."""
+    import ray as _ray
+
+    ds = ops.read_table(sf_dir, "documents", columns=["text"])
+    term_re = _TERM_RE
+
+    def local_cms(t: pa.Table) -> pa.Table:
+        m = np.zeros((CMS_D, CMS_W), np.int64)
+        for txt in t.column("text").to_pylist():
+            for w in term_re.findall(txt.lower()):
+                if len(w) >= 3:
+                    for i, c in enumerate(cms_cols(w)):
+                        m[i, c] += 1
+        cells = np.nonzero(m.ravel())[0]
+        return pa.table(
+            {
+                "cell": pa.array(cells.astype(np.int64), pa.int64()),
+                "cnt": pa.array(m.ravel()[cells], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        out = t.group_by(["cell"]).aggregate([("cnt", "sum")])
+        return out.rename_columns(
+            ["cnt" if c == "cnt_sum" else c for c in out.column_names]
+        ).select(["cell", "cnt"])
+
+    folded = (
+        ds.map_batches(local_cms, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+    )  # bounded: <= d*w = 8192 rows
+    matrix = np.zeros(CMS_D * CMS_W, np.int64)
+    matrix[folded["cell"].to_numpy(np.int64)] = folded["cnt"].to_numpy(np.int64)
+    matrix = matrix.reshape(CMS_D, CMS_W)
+    m_ref = _ray.put(matrix)
+
+    def probe(t: pa.Table) -> pa.Table:
+        m = _ray.get(m_ref)
+        seen: set[str] = set()
+        for txt in t.column("text").to_pylist():
+            for w in term_re.findall(txt.lower()):
+                if len(w) >= 3:
+                    seen.add(w)
+        hits = [(w, int(min(m[i, c] for i, c in enumerate(cms_cols(w)))))
+                for w in sorted(seen)]
+        hits = [(w, e) for w, e in hits if e >= threshold]
+        return pa.table(
+            {
+                "term": pa.array([w for w, _ in hits], pa.string()),
+                "est_count": pa.array([e for _, e in hits], pa.int64()),
+            }
+        )
+
+    # candidates repeat across batches with identical estimates; a
+    # bounded min-fold dedupes them (domain = terms above threshold)
+    return ops.partial_sum_agg(
+        ds.map_batches(probe, batch_format="pyarrow"),
+        keys=["term"], sums={}, counts=None,
+        mins={"est_count": "est_count"}, bounded=True,
+    )
+
+
 SKETCH_QUERIES = {
     "approx_distinct_orders_hll": approx_distinct_orders_hll,
+    "cms_term_counts": cms_term_counts,
 }
 
 SKETCH_ORACLE_SQL = {
@@ -115,4 +229,8 @@ SKETCH_ORACLE_SQL = {
     "approx_distinct_orders_hll": golden_sql(
         "approx_distinct_orders_hll", "m, n_distinct_est"
     ),
+    # linear-sketch twin: goldens.cms_golden builds the identical
+    # matrix sequentially (merge of a linear sketch is exact under any
+    # partitioning, so engine == sequential bit-for-bit)
+    "cms_term_counts": golden_sql("cms_term_counts", "term, est_count"),
 }
