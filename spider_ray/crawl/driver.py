@@ -664,16 +664,25 @@ class CrawlDriver:
                 # runs; the sort barrier materializes all partitions
                 # before the map wave, so launch order is not the tail.
                 # See BENCH/BASELINE.md "Measured and rejected".
+                # boundary-quality fix (round 4, third pass): sort on the
+                # near-unique (bucket, url) composite instead of grouping
+                # by the dense bucket key — sampled range boundaries can
+                # then fall between rows, so the fetch wave's blocks are
+                # row-count balanced instead of inheriting the
+                # cannot-split-equal-keys skew (see stages.fetch_batch_multi
+                # and BENCH/BASELINE.md for the measured alternatives).
                 fetched = (
                     base.map_batches(
                         partial(stages.add_fetch_bucket,
                                 n_buckets=self.fetch_buckets),
                         batch_format="pyarrow",
                     )
-                    .groupby("bucket")
-                    .map_groups(
-                        partial(stages.fetch_group, pages_dir=self.pages_dir),
+                    .sort(["bucket", "url"])
+                    .map_batches(
+                        partial(stages.fetch_batch_multi,
+                                pages_dir=self.pages_dir),
                         batch_format="pyarrow",
+                        batch_size=None,
                     )
                 )
             ex = fetched.map_batches(
@@ -979,10 +988,11 @@ class CrawlDriver:
                     partial(stages.add_fetch_bucket, n_buckets=self.fetch_buckets),
                     batch_format="pyarrow",
                 )
-                .groupby("bucket")
-                .map_groups(
-                    partial(stages.fetch_group, pages_dir=v2_dir),
+                .sort(["bucket", "url"])
+                .map_batches(
+                    partial(stages.fetch_batch_multi, pages_dir=v2_dir),
                     batch_format="pyarrow",
+                    batch_size=None,
                 )
                 .map_batches(
                     partial(stages.extract_batch, cfg_ref=cfg_ref),

@@ -416,10 +416,10 @@ def fetch_group(group: pa.Table, pages_dir: str) -> pa.Table:
     shuffling the pages table (SURVEY.md §2.4 J1).  Arrow-native
     throughout: selective parquet read -> Acero hash join, html bytes
     never pass through pandas object arrays."""
-    bucket = int(group.column("bucket")[0].as_py())
+    bucket = int(group.column("bucket")[0].as_py()) if group.num_rows else -1
     bucket_dir = os.path.join(pages_dir, f"bucket={bucket}")
     urls = group.column("url").to_pylist()
-    if os.path.isdir(bucket_dir):
+    if group.num_rows and os.path.isdir(bucket_dir):
         pages = _read_bucket_pages(bucket_dir, urls)
     else:
         pages = pa.table(
@@ -440,6 +440,38 @@ def fetch_group(group: pa.Table, pages_dir: str) -> pa.Table:
     )
     out = out.append_column("found", found.cast(pa.int8()))
     return out.append_column("n_bytes", n_bytes.cast(pa.int64()))
+
+
+def fetch_batch_multi(batch: pa.Table, pages_dir: str) -> pa.Table:
+    """Fetch join over a block that may hold SEVERAL buckets or a
+    PARTIAL bucket — the boundary-quality fix for the e7 straggler.
+
+    The old path grouped by the dense ``bucket`` key, and Ray's sort-
+    based shuffle cannot split an equal-key run across partitions, so
+    sampled boundaries routinely co-located several buckets in one
+    reduce task (measured: a 600-row key group inside a 2300-row
+    partition, ~18% of e7 wall).  But bucket purity was never a
+    correctness requirement — the fetch is a per-row lookup join
+    against the bucket's on-disk partition, exact on ANY subset of a
+    bucket's rows.  Sorting on the near-unique composite
+    (bucket, url) instead lets the sampled boundaries fall BETWEEN
+    rows, producing row-count-balanced blocks; this stage then splits
+    its block into bucket-contiguous runs and reuses fetch_group per
+    run.  Read amplification is at most one extra row-group decode per
+    partition boundary (splits are url-contiguous, matching the
+    url-sorted corpus layout), versus the full metadata pass a hash
+    sub-split would duplicate."""
+    if batch.num_rows == 0:
+        return fetch_group(batch, pages_dir)
+    b = batch.column("bucket").to_numpy(zero_copy_only=False)
+    cuts = np.flatnonzero(np.diff(b)) + 1
+    starts = np.concatenate(([0], cuts))
+    stops = np.concatenate((cuts, [len(b)]))
+    parts = [
+        fetch_group(batch.slice(int(s), int(e - s)), pages_dir)
+        for s, e in zip(starts, stops)
+    ]
+    return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
 
 def domain_count_partial(t: pa.Table, pool_size: int) -> pa.Table:
