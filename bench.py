@@ -112,6 +112,9 @@ QUERY_NAMES = [
     "ann_filtered_topk",
     "entity_clusters_edit_distance",
     "hybrid_search_rrf",
+    "cms_term_counts",
+    "tpch_q3_shipping_priority",
+    "events_range_window_1h",
 ]
 # ngram_jaccard_pairs is deliberately NOT benched at sf0.1: it is the
 # EXACT set-similarity join (verify-grade, for bounded buckets — see its

@@ -501,8 +501,16 @@ class CrawlDriver:
                         n_parts=self.dedup_parts),
                 batch_format="pyarrow",
             )
-            .groupby("dedup_part")
-            .map_groups(
+            # boundary-quality form (round 4): sort on the near-unique
+            # url_hash64 instead of grouping by the dense dedup_part key.
+            # candidate_group only needs URL purity (all copies of a url
+            # in one batch): equal url => equal hash64, and ray 2.49.2's
+            # range partitioner never splits an equal-key run across
+            # blocks (pinned by pyproject + tests/test_sort_invariant.py),
+            # so per-block batches keep the oracle's dedupe semantics
+            # while the sampled boundaries balance blocks by row count.
+            .sort("url_hash64")
+            .map_batches(
                 partial(
                     stages.candidate_group,
                     shard_handles=self.shards,
@@ -511,6 +519,7 @@ class CrawlDriver:
                     pool_size=cfg.gate_pool_size,
                 ),
                 batch_format="pandas",
+                batch_size=None,
             )
             .map_batches(_strip_md, batch_format="pyarrow")
             .materialize()
@@ -783,14 +792,17 @@ class CrawlDriver:
                     ),
                     batch_format="pyarrow",
                 )
-                .groupby("dedup_part")
-                .map_groups(
+                # same boundary-quality form as e1: url purity via the
+                # equal-key sort invariant, row-count-balanced blocks
+                .sort("url_hash64")
+                .map_batches(
                     partial(
                         stages.child_group,
                         shard_handles=self.shards,
                         num_shards=cfg.num_shards,
                     ),
                     batch_format="pandas",
+                    batch_size=None,
                 )
                 .map_batches(_strip_md, batch_format="pyarrow")
                 .materialize()
