@@ -497,8 +497,7 @@ class CrawlDriver:
         # seen RPC -> robots RPC, one shuffle (key url_hash64 % parts)
         cands = (
             f_in.map_batches(
-                partial(stages.flags_and_part_batch, cfg_ref=cfg_ref,
-                        n_parts=self.dedup_parts),
+                partial(stages.flags_and_part_batch, cfg_ref=cfg_ref),
                 batch_format="pyarrow",
             )
             # boundary-quality form (round 4): sort on the near-unique
@@ -788,7 +787,6 @@ class CrawlDriver:
                         stages.explode_children,
                         cfg_ref=cfg_ref,
                         round_no=k,
-                        n_parts=self.dedup_parts,
                     ),
                     batch_format="pyarrow",
                 )

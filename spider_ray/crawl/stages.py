@@ -10,7 +10,7 @@ The round is organized into a small number of FUSED executions (a Ray
 Data execution has a fixed scheduling cost, so per-round latency is
 op-count x fixed-cost at small scale):
 
-  1. candidate pass: flags+partition map -> groupby(dedup_part) ->
+  1. candidate pass: flags -> sort(url_hash64) ->
      candidate_group (dedupe + seen RPC + robots RPC -> status col);
   2. selection: two-level budget select — every domain is split into S
      fixed hash slices (the hot-domain salting of A.8, applied
@@ -20,7 +20,7 @@ op-count x fixed-cost at small scale):
      broadcast back) — placement-skew-proof and byte-deterministic;
   3. fetch+extract: bucketed join against the pages corpus partition,
      then the single-pass text+link extraction;
-  4. children pass: explode + depth flag -> groupby(dedup_part) ->
+  4. children pass: explode + depth flag -> sort(url_hash64) ->
      child_group (dedupe + seen check -> status col).
 
 Determinism: no stage reads the clock or depends on batch arrival
@@ -103,8 +103,8 @@ def seed_frontier_table(seed_urls: list[str]) -> pa.Table:
 # execution 1: candidate pass (M4/M5 scope + D2 dedupe + J2 seen + M10 robots)
 # ---------------------------------------------------------------------------
 
-def flags_and_part_batch(batch: pa.Table, cfg_ref, n_parts: int) -> pa.Table:
-    """Scope/depth reason + dedup hash partition, one pass.
+def flags_and_part_batch(batch: pa.Table, cfg_ref) -> pa.Table:
+    """Scope/depth status flags, one vectorized pass.
 
     Vectorized (VERDICT r01 item 8): depth via numpy, domain membership
     via pc.is_in, and the exclusion regexes applied per (domain,
@@ -140,11 +140,7 @@ def flags_and_part_batch(batch: pa.Table, cfg_ref, n_parts: int) -> pa.Table:
                 hit |= vals.str.contains(p, regex=True).to_numpy()
             excl[mask] = hit
         reason[todo[excl]] = ST_EXCLUDED
-    h = batch.column("url_hash64").to_numpy(zero_copy_only=False)
-    batch = batch.append_column("status", pa.array(reason, pa.int8()))
-    return batch.append_column(
-        "dedup_part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
-    )
+    return batch.append_column("status", pa.array(reason, pa.int8()))
 
 
 def _rpc_seen(df: pd.DataFrame, shard_handles, num_shards: int) -> np.ndarray:
@@ -577,18 +573,17 @@ def extract_batch(batch: pa.Table, cfg_ref) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def explode_children(
-    batch: pa.Table, cfg_ref, round_no: int, n_parts: int
+    batch: pa.Table, cfg_ref, round_no: int
 ) -> pa.Table:
     """FRONTIER rows for every kept link (vectorized explode via
     pyarrow list_flatten/list_parent_indices; seq by formula A.5),
-    already carrying the depth status + dedup partition."""
+    already carrying the depth status."""
     cfg = get_cfg(cfg_ref)
     link_url = batch.column("link_url")
     parent_idx = pc.list_parent_indices(link_url)
     if len(parent_idx) == 0:
         empty = seed_frontier_table([])[:0]
-        empty = empty.append_column("status", pa.array([], pa.int8()))
-        return empty.append_column("dedup_part", pa.array([], pa.int32()))
+        return empty.append_column("status", pa.array([], pa.int8()))
     urls = pc.list_flatten(link_url)
     hosts = pc.list_flatten(batch.column("link_host"))
     domains = pc.list_flatten(batch.column("link_domain"))
@@ -616,7 +611,6 @@ def explode_children(
             ),
             "deferred": pa.array(np.zeros(n, dtype=bool)),
             "status": pa.array(status, pa.int8()),
-            "dedup_part": pa.array((h64 % np.uint64(n_parts)).astype(np.int32)),
         }
     )
 
