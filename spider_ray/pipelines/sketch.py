@@ -161,12 +161,21 @@ def cms_term_counts(sf_dir: str, threshold: int = CMS_THRESHOLD):
     term_re = _TERM_RE
 
     def local_cms(t: pa.Table) -> pa.Table:
-        m = np.zeros((CMS_D, CMS_W), np.int64)
+        # count FIRST, hash per DISTINCT term: sketch addition is
+        # linear, so adding a term's total count once is identical to
+        # adding 1 per occurrence — 4 sha1 calls per vocab word instead
+        # of per token (~10x less hash work on real text)
+        from collections import Counter
+
+        cnt: Counter[str] = Counter()
         for txt in t.column("text").to_pylist():
-            for w in term_re.findall(txt.lower()):
-                if len(w) >= 3:
-                    for i, c in enumerate(cms_cols(w)):
-                        m[i, c] += 1
+            cnt.update(
+                w for w in term_re.findall(txt.lower()) if len(w) >= 3
+            )
+        m = np.zeros((CMS_D, CMS_W), np.int64)
+        for w, c in cnt.items():
+            for i, col in enumerate(cms_cols(w)):
+                m[i, col] += c
         cells = np.nonzero(m.ravel())[0]
         return pa.table(
             {

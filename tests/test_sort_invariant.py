@@ -70,3 +70,35 @@ def test_sort_blocks_are_globally_ordered(ray_session):
         if prev_max is not None:
             assert lo > prev_max, "post-sort block key ranges overlap"
         prev_max = hi
+
+
+def test_sort_never_splits_equal_uint64_hash_keys(ray_session):
+    """Crawl-path reliance (round 4): the candidate/children passes sort
+    on the uint64 url_hash64 and dedupe per url inside per-block
+    batches — every copy of a url must land in ONE block.  Mirror that
+    shape: near-unique uint64 hash keys with a minority of duplicated
+    runs (url re-discovered by many parents), plus string payload."""
+    rng = np.random.default_rng(23)
+    uniq = rng.integers(0, 2**63, size=30_000, dtype=np.uint64)
+    dup_pool = rng.choice(uniq, size=500, replace=False)
+    dups = np.repeat(dup_pool, rng.integers(2, 30, size=500))
+    keys = np.concatenate([uniq, dups])
+    rng.shuffle(keys)
+    ds = ray.data.from_arrow(
+        pa.table({
+            "k": pa.array(keys, pa.uint64()),
+            "url": pa.array([f"https://d{int(x) % 97}.example/p{int(x) % 1013}"
+                             for x in keys], pa.string()),
+        })
+    ).repartition(48)
+    per_block = _distinct_keys_per_block(ds)
+    assert len(per_block) > 1
+    seen: dict[int, int] = {}
+    for i, block_keys in enumerate(per_block):
+        for k in block_keys:
+            assert k not in seen, (
+                f"uint64 key {k} spans blocks {seen[k]} and {i}: the "
+                "crawl's url_hash64 sort-dedupe (candidate/children "
+                "passes) is NOT safe on this ray version"
+            )
+            seen[k] = i
