@@ -211,13 +211,30 @@ _WF_ATTRS = (
     r"(?:\s+[^\s/>=\"'][^\s=>\"']*"
     r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>\"'][^\s>]*|))?)*"
 )
+# Segment grammar tightens the boring-tag attr grammar in two ways:
+# bare quotes are excluded from unquoted values (<div a=b"c>), and '<'
+# is excluded from attr names and values entirely (quoted or not).
+# Such tags — vanishingly rare, and HTML5 parse errors anyway — fall
+# to the exact single-tag _TOK branch instead of the segment path.
+# The payoff is two invariants inside a _SEG-validated segment:
+# (1) every quote belongs to a balanced ="…"/='…' pair, and (2) '<'
+# occurs ONLY at a real tag start (text runs are [^<]+).  Together
+# they let the sentinel rewrite below use cheap character-class scans
+# (~40% of extract CPU at round-4 profile) instead of re-running the
+# nested per-attribute grammar the segment match already proved:
+# every scan starts at a real tag and no spurious mid-tag '<' exists
+# for it to anchor on.
+_WF_ATTRS_SEG = (
+    r"(?:\s+[^\s/>=\"'<][^\s=>\"'<]*"
+    r"(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^\s>\"'<]+|))?)*"
+)
 _SEG = re.compile(
     r"(?:[^<]+|<(?!" + _INTER + r")/?[a-zA-Z][-.a-zA-Z0-9:_]*"
-    + _WF_ATTRS + r"\s*/?>)+",
+    + _WF_ATTRS_SEG + r"\s*/?>)+",
     re.IGNORECASE,
 )
 _SEG_SPLIT = re.compile(
-    r"<(/?)([a-zA-Z][-.a-zA-Z0-9:_]*)" + _WF_ATTRS + r"\s*(/?)>",
+    r"<(/?)([a-zA-Z][-.a-zA-Z0-9:_]*)" + _WF_ATTRS_SEG + r"\s*(/?)>",
     re.IGNORECASE,
 )
 _BLOCK_CACHE: dict = {}
@@ -242,11 +259,23 @@ _BLOCK_NAMES = (
     r"(?:p|div|section|article|h[1-6]|li|ul|ol|table|tr|br|title"
     r"|header|footer|nav|blockquote|pre)(?![-.a-zA-Z0-9:_])"
 )
+# Inside a _SEG-validated segment (see _WF_ATTRS_SEG) quotes occur
+# only as balanced ="…"/='…' pairs, unquoted values/names never
+# contain > " ', and '>' otherwise appears only inside quoted values
+# or as the tag terminator — so a flat scan of (non->"' chars |
+# balanced quote pair)* finds exactly the same tag end as the full
+# per-attribute grammar, with no nested quantifiers.  Profiled on the
+# benchfat corpus this halves the cost of the two sentinel subs, the
+# hottest regex calls in the crawl's e7 extract stage.  Matches that
+# START inside another tag's quoted attr value behave as before
+# (leftmost-match swallows them or the leftover-'<' guard below routes
+# the segment to the careful replay), same as the old _WF_ATTRS form.
+_Q_SCAN = r"[^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*"
 _BLOCK_ANY = re.compile(
-    r"</?" + _BLOCK_NAMES + _WF_ATTRS + r"\s*/?>", re.IGNORECASE
+    r"</?" + _BLOCK_NAMES + _Q_SCAN + r">", re.IGNORECASE
 )
 _ANY_TAG = re.compile(
-    r"</?[a-zA-Z][-.a-zA-Z0-9:_]*" + _WF_ATTRS + r"\s*/?>", re.IGNORECASE
+    r"</?[a-zA-Z]" + _Q_SCAN + r">", re.IGNORECASE
 )
 
 
@@ -526,10 +555,20 @@ def _pieces_links(html: bytes | str) -> tuple[list[str], list[str]]:
     return _scan(html)
 
 
+# After _ws_collapse every whitespace char in a piece is a plain ' '
+# (verified exhaustively in tests/test_extract_fast.py), so per-line
+# str.strip() + drop-empty-lines is exactly "collapse each space-
+# padded newline run to one \n, then trim the ends" — one C regex
+# pass instead of a Python strip per line (~15% of extract CPU on the
+# benchfat profile at ~1.4k lines/page).
+_NL_TRIM = re.compile(r" *\n[\n ]*")
+
+
 def _finish(pieces: list[str]) -> str:
     raw = "".join(pieces)
-    lines = [ln.strip() for ln in raw.split("\n")]
-    return "\n".join(ln for ln in lines if ln)
+    if "\n" in raw:
+        raw = _NL_TRIM.sub("\n", raw)
+    return raw.strip(" \n")
 
 
 def extract_text(html: bytes | str) -> str:
