@@ -75,6 +75,19 @@ ADVERSARIAL = [
     "éü unicode café <p>中文</p>",
     "<script><!-- legacy hide --></script>v",
     "<style>@media (max-width: 1px) { }</style>v",
+    # '<' inside attr values / names: the round-4 segment-grammar
+    # tightening routes these to the single-tag branch; each literal
+    # below is a minimized fuzz case where the PREVIOUS segment
+    # grammar (which accepted '<' in attr names/values) diverged from
+    # the stdlib reference — pinned so they can't come back
+    "<em title=\"<h1>T</h1>\">x",
+    "<p title=\"<div>x\">y</p>",
+    "<em a=\"<div \" b='x'>t",
+    "<div <div class=\"a b\" id='z'>tail",
+    "<x <a href=&lt;<a href=class=<br/>title='<p a=\"x\">'aem&amp;",
+    "<div a=b\"c>bare quote in unquoted value",
+    "<em x=a<p> y>",
+    "=a'b<div <div class=\"a b\" id='z'>=a'b<h1>T</h1>",
 ]
 
 
@@ -147,6 +160,14 @@ _soup_atom = st.one_of(
             "title=\"href=/f\"",
             "b=web/href=/y",
             "/href=/z",
+            # '<' embedded in attr positions (round-4 family: the old
+            # segment grammar accepted these and diverged from the
+            # reference; now they route to the single-tag branch)
+            "<em a=\"<div \" b='x'>",
+            "<p title=\"<div>x\">",
+            "<div <div class=\"a b\" id='z'>",
+            "<div a=b\"c>",
+            "<em x=a<p>",
         ]
     ),
 )
