@@ -21,12 +21,28 @@ for one domain serializes through one actor, two fetcher actors can
 never overlap the same domain, no matter how blocks were assigned.
 ``politeness_scale=0`` keeps the full reservation protocol but skips
 the sleeps (tests); 1.0 honors robots crawl-delay in real time.
+
+Redirect policy (3xx): SAME-host redirects are followed inline, paced
+by the same reserved spacing as any other request to that host, up to
+``max_redirects`` hops — the extra requests stay inside the domain's
+politeness window, so the T2 single-authority invariant holds.
+CROSS-host redirects are never fetched inline (the actor holds no
+reservation for the target's domain); the unfollowed target is
+surfaced in the ``redirect_to`` output column and the row counts as a
+fetch miss.  A deployment enqueues ``redirect_to`` values back into
+the frontier exactly like extracted links (canonicalize -> scope
+filter -> seen anti-join -> next round), which also gives
+redirect-loop protection across rounds for free via the seen set;
+over-limit same-host chains land in ``redirect_to`` the same way.
+The ``redirects`` column counts followed hops per row (rides the
+live-mode metrics as ``fetch_redirects``).
 """
 
 from __future__ import annotations
 
 import hashlib
 import time
+from urllib.parse import urljoin, urlsplit
 
 import numpy as np
 import pyarrow as pa
@@ -40,10 +56,12 @@ class LiveFetcher:
                  user_agent: str = "spider-ray/0.1",
                  gate_handles: list | None = None,
                  pool_size: int = 0,
-                 politeness_scale: float = 1.0) -> None:
+                 politeness_scale: float = 1.0,
+                 max_redirects: int = 5) -> None:
         self.timeout_s = timeout_s
         self.user_agent = user_agent
         self.fake = fake
+        self.max_redirects = max_redirects
         self.gates = gate_handles or []
         self.pool_size = pool_size if gate_handles else 0
         self.politeness_scale = politeness_scale
@@ -56,20 +74,30 @@ class LiveFetcher:
             )
         self._session = None  # the (stub) connection pool handle
 
-    def _fetch_one(self, url: str) -> tuple[bytes, int]:
-        """(body, status).  Stub: deterministic synthetic page keyed on
-        the url; ~1/8 of urls 404 and ~1/32 time out (status 599), so
-        both miss paths and the timeout metric are exercised."""
+    def _fetch_one(self, url: str) -> tuple[bytes, int, str]:
+        """(body, status, location).  Stub: deterministic synthetic
+        page keyed on the url; ~1/8 of urls 404, ~1/32 time out
+        (status 599), ~1/16 301 to a same-host child path and ~1/32
+        301 off-host, so the miss, timeout and both redirect paths are
+        all exercised.  ``/rloop`` urls redirect to themselves (the
+        over-limit guard's deterministic test case)."""
         d = hashlib.sha1(url.encode()).digest()
+        if "/rloop" in url:
+            return b"", 301, url
         if d[0] % 32 == 1:
-            return b"", 599  # simulated timeout
+            return b"", 599, ""  # simulated timeout
         if d[0] % 8 == 0:
-            return b"", 404
+            return b"", 404, ""
+        if d[0] % 16 == 6:
+            # same-host hop; relative Location exercises the urljoin
+            return b"", 301, urlsplit(url).path.rstrip("/") + "/r"
+        if d[0] % 32 == 12:
+            return b"", 301, f"http://offsite-{d.hex()[:4]}.example/x"
         body = (
             f"<html><body><h1>{url}</h1><p>fake body {d.hex()[:16]}</p>"
             f'<a href="{url}/next">n</a></body></html>'
         ).encode()
-        return body, 200
+        return body, 200, ""
 
     def _reserve(self, domains: list[str],
                  counts: list[int]) -> dict[str, tuple[float, float]]:
@@ -119,6 +147,8 @@ class LiveFetcher:
         found = np.zeros(n, dtype=np.int8)
         timeout = np.zeros(n, dtype=np.int8)
         n_bytes = np.zeros(n, dtype=np.int64)
+        redirects = np.zeros(n, dtype=np.int32)
+        redirect_to: list[str] = [""] * n
         prev_domain = None
         for i in order:
             d = domains[i]
@@ -130,7 +160,22 @@ class LiveFetcher:
                 prev_domain = d
             elif spacing > 0:
                 time.sleep(spacing)
-            body, status = self._fetch_one(urls[i])
+            cur = urls[i]
+            body, status, loc = self._fetch_one(cur)
+            # follow same-host 3xx inline (paced inside this domain's
+            # reserved window); surface anything else in redirect_to
+            while 300 <= status < 400:
+                target = urljoin(cur, loc) if loc else ""
+                if (not target
+                        or urlsplit(target).netloc != urlsplit(cur).netloc
+                        or redirects[i] >= self.max_redirects):
+                    redirect_to[i] = target
+                    break
+                if spacing > 0:
+                    time.sleep(spacing)
+                redirects[i] += 1
+                cur = target
+                body, status, loc = self._fetch_one(cur)
             bodies[i] = body
             if status == 200:
                 found[i] = 1
@@ -141,4 +186,8 @@ class LiveFetcher:
         out = out.append_column("lang", pa.array([""] * n, pa.string()))
         out = out.append_column("found", pa.array(found))
         out = out.append_column("n_bytes", pa.array(n_bytes))
-        return out.append_column("timeout", pa.array(timeout))
+        out = out.append_column("timeout", pa.array(timeout))
+        out = out.append_column("redirects", pa.array(redirects))
+        return out.append_column(
+            "redirect_to", pa.array(redirect_to, pa.string())
+        )

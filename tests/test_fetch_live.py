@@ -82,6 +82,93 @@ def test_live_frontier_chains_to_next_round(live_run):
         assert n == m["enqueued"]
 
 
+def test_live_crawl_counts_redirects(live_run):
+    """fetch_redirects counts followed same-host hops: every SELECTED
+    url whose fake response is a same-host 301 (d[0] % 16 == 6)
+    contributes at least one hop, so the metric is bounded below by
+    the deterministic count over the urls the crawl actually chose
+    (chain continuations can only add hops on top)."""
+    import hashlib
+
+    ckpt, metrics, _ = live_run
+    selected = _read_all(ckpt, "order")["url"]
+    expect = sum(
+        1 for u in selected
+        if "/rloop" not in u
+        and hashlib.sha1(u.encode()).digest()[0] % 16 == 6
+    )
+    got = sum(m.get("fetch_redirects", 0) for m in metrics)
+    assert got >= expect
+    if expect == 0:  # tiny-crawl fallback: exercise the path directly
+        out = _fetch_batch(["http://d.example/p9"])  # any url works:
+        assert "redirects" in out.schema.names
+
+
+def _fetch_batch(urls):
+    import pyarrow as pa
+
+    from spider_ray.crawl.fetcher import LiveFetcher
+
+    f = LiveFetcher(fake=True, politeness_scale=0.0)
+    return f(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "domain": pa.array(["d.example"] * len(urls), pa.string()),
+    }))
+
+
+def test_redirect_same_host_followed_to_final_body():
+    """A same-host 301 chain ends in the TARGET's body under the
+    ORIGINAL url row; hop count recorded; no redirect_to."""
+    import hashlib
+
+    # find a url whose fake response is 301 (d[0] % 16 == 6) and whose
+    # target resolves to a 200
+    url = None
+    for i in range(5000):
+        u = f"http://d.example/p{i}"
+        d = hashlib.sha1(u.encode()).digest()
+        if d[0] % 16 == 6:
+            t = hashlib.sha1((u + "/r").encode()).digest()
+            if t[0] % 32 != 1 and t[0] % 8 != 0 and t[0] % 16 != 6 \
+                    and t[0] % 32 != 12:
+                url = u
+                break
+    assert url is not None
+    out = _fetch_batch([url])
+    assert out.column("found")[0].as_py() == 1
+    assert out.column("redirects")[0].as_py() == 1
+    assert out.column("redirect_to")[0].as_py() == ""
+    body = out.column("html")[0].as_py().decode()
+    assert f"<h1>{url}/r</h1>" in body  # final hop's body
+    assert out.column("url")[0].as_py() == url  # row keeps request url
+
+
+def test_redirect_cross_host_not_followed():
+    """An off-host 301 is never fetched inline (no politeness
+    reservation for the target domain): fetch miss + target surfaced."""
+    import hashlib
+
+    url = next(
+        u for u in (f"http://d.example/q{i}" for i in range(5000))
+        if hashlib.sha1(u.encode()).digest()[0] % 32 == 12
+    )
+    out = _fetch_batch([url])
+    assert out.column("found")[0].as_py() == 0
+    assert out.column("redirects")[0].as_py() == 0
+    from urllib.parse import urlsplit
+
+    tgt = out.column("redirect_to")[0].as_py()
+    assert tgt.startswith("http://offsite-")
+    assert urlsplit(tgt).netloc != "d.example"
+
+
+def test_redirect_loop_bounded_by_max_redirects():
+    out = _fetch_batch(["http://d.example/rloop"])
+    assert out.column("found")[0].as_py() == 0
+    assert out.column("redirects")[0].as_py() == 5  # default cap
+    assert out.column("redirect_to")[0].as_py() == "http://d.example/rloop"
+
+
 def test_reserve_fetch_slots_serializes_domain(ray_session, micro_fixture):
     """T2 politeness: consecutive reservations for one domain get
     non-overlapping, correctly spaced windows; scale=0 collapses the
