@@ -1,0 +1,241 @@
+"""Sitemap source — sitemaps.org protocol ingest for seed discovery
+(SURVEY.md §2.1 S1 extension: real crawls bootstrap their frontier
+from robots.txt-advertised sitemaps, not only a hand-written seed
+list).
+
+Implemented from the public Sitemaps 0.9 protocol: a ``<urlset>``
+document lists page ``<url>`` entries (``loc`` required; ``lastmod``,
+``changefreq``, ``priority`` optional), a ``<sitemapindex>`` document
+lists child ``<sitemap>`` files, and plain-text sitemaps are one URL
+per line.  ``.gz`` variants are whole-file gzip.  Both document kinds
+come back as rows of ONE schema with a ``kind`` discriminator:
+
+    kind       "url" (page) | "sitemap" (child sitemap location)
+    url        the <loc> value, stripped
+    lastmod_ts timestamp(us) from <lastmod> (W3C datetime; 0 if absent)
+    changefreq "" if absent
+    priority   e3 fixed point (<priority>0.8</priority> -> 800;
+               -1 if absent — the protocol default 0.5 is the
+               CONSUMER's decision, absence is information)
+
+``kind == "sitemap"`` rows are intentionally not fetched here: this
+sandbox has no network, and in deployment child-sitemap fetches belong
+to the politeness-governed fetch layer (same design as the live
+fetcher's cross-host ``redirect_to``), not to a source that would hit
+hosts with unthrottled reads.  The driver for that loop is
+``read_sitemaps`` per wave: fetch the returned child locations through
+the fetcher pool, feed the bodies back in, repeat.
+
+Parsing is stdlib ``xml.etree`` on the namespace-agnostic local names
+(real-world sitemaps mix default/prefixed/absent namespaces); a
+malformed XML document falls back to a literal ``<loc>`` scan so one
+bad byte does not drop a 50k-url sitemap.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+from datetime import datetime, timezone
+from xml.etree import ElementTree
+
+import pyarrow as pa
+
+_LOC_RE = re.compile(rb"<loc[^>]*>(.*?)</loc>", re.S | re.I)
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def _ts_us(text: str) -> int:
+    """W3C datetime (YYYY-MM-DD or full ISO-8601) -> epoch micros."""
+    t = text.strip()
+    try:
+        dt = datetime.fromisoformat(t.replace("Z", "+00:00"))
+    except ValueError:
+        return 0
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.astimezone(timezone.utc).timestamp() * 1_000_000)
+
+
+def _rows(kind: str, elem) -> dict | None:
+    loc, lastmod, changefreq, priority = "", 0, "", -1
+    for child in elem:
+        name = _local(child.tag)
+        text = (child.text or "").strip()
+        if name == "loc":
+            loc = text
+        elif name == "lastmod":
+            lastmod = _ts_us(text)
+        elif name == "changefreq":
+            changefreq = text.lower()
+        elif name == "priority":
+            try:
+                priority = round(float(text) * 1000)
+            except ValueError:
+                priority = -1
+    if not loc:
+        return None
+    return {
+        "kind": kind,
+        "url": loc,
+        "lastmod_ts": lastmod,
+        "changefreq": changefreq,
+        "priority": priority,
+    }
+
+
+_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("url", pa.string()),
+        ("lastmod_ts", pa.timestamp("us")),
+        ("changefreq", pa.string()),
+        ("priority", pa.int32()),
+    ]
+)
+
+
+def _table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "kind": pa.array([r["kind"] for r in rows], pa.string()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "lastmod_ts": pa.array(
+                [r["lastmod_ts"] for r in rows], pa.timestamp("us")
+            ),
+            "changefreq": pa.array(
+                [r["changefreq"] for r in rows], pa.string()
+            ),
+            "priority": pa.array([r["priority"] for r in rows], pa.int32()),
+        },
+        schema=_SCHEMA,
+    )
+
+
+def parse_sitemap_bytes(buf: bytes) -> pa.Table:
+    """One sitemap document (urlset, sitemapindex, or plain text;
+    optionally gzipped) -> rows of the unified schema."""
+    if buf[:2] == b"\x1f\x8b":
+        buf = gzip.decompress(buf)
+    stripped = buf.lstrip()
+    rows: list[dict] = []
+    if stripped[:1] == b"<":
+        try:
+            root = ElementTree.fromstring(buf)
+        except ElementTree.ParseError:
+            # malformed XML: literal <loc> scan keeps the urls; index
+            # vs urlset is undecidable, so everything becomes "url"
+            # (the consumer's seen-set/scope filters absorb mistakes)
+            for m in _LOC_RE.finditer(buf):
+                loc = m.group(1).decode("utf-8", errors="replace").strip()
+                if loc:
+                    rows.append(
+                        {"kind": "url", "url": loc, "lastmod_ts": 0,
+                         "changefreq": "", "priority": -1}
+                    )
+            return _table(rows)
+        root_name = _local(root.tag)
+        kind = "sitemap" if root_name == "sitemapindex" else "url"
+        for elem in root:
+            if _local(elem.tag) in ("url", "sitemap"):
+                r = _rows(kind, elem)
+                if r is not None:
+                    rows.append(r)
+        return _table(rows)
+    # plain-text sitemap: one url per line
+    for line in buf.decode("utf-8", errors="replace").splitlines():
+        line = line.strip()
+        if line:
+            rows.append(
+                {"kind": "url", "url": line, "lastmod_ts": 0,
+                 "changefreq": "", "priority": -1}
+            )
+    return _table(rows)
+
+
+def read_sitemaps(paths) -> "ray.data.Dataset":  # noqa: F821
+    """Sitemap file(s)/directory -> Dataset(kind, url, lastmod_ts,
+    changefreq, priority).  One parse task per file, streaming."""
+    import ray.data
+
+    def parse(row: dict) -> list[dict]:
+        return parse_sitemap_bytes(bytes(row["bytes"])).to_pylist()
+
+    return ray.data.read_binary_files(paths, include_paths=True).flat_map(
+        parse
+    )
+
+
+def sitemap_seed_table(ds, *, max_depth: int = 0) -> pa.Table:
+    """kind == "url" rows -> the crawl's (url, max_depth) seed shape,
+    newest-lastmod first per url (a url listed by several sitemaps
+    keeps one row).  Seed lists are bounded (they gate a crawl, not
+    stream through it), so the driver-side collect is by contract.
+    ``max_depth = 0`` seeds exactly the listed pages; > 0 lets the
+    crawl expand around them."""
+    tbl = pa.Table.from_pylist(
+        ds.filter(lambda r: r["kind"] == "url").take_all(), schema=_SCHEMA
+    )
+    if len(tbl) == 0:
+        return pa.table(
+            {"url": pa.array([], pa.string()),
+             "max_depth": pa.array([], pa.int32())}
+        )
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[("lastmod_ts", "descending"), ("url", "ascending")],
+    )
+    tbl = tbl.take(order)
+    # first occurrence after the sort = newest lastmod per url
+    urls = tbl.column("url").to_pylist()
+    seen: set[str] = set()
+    keep_urls: list[str] = []
+    for u in urls:
+        if u not in seen:
+            seen.add(u)
+            keep_urls.append(u)
+    return pa.table(
+        {
+            "url": pa.array(keep_urls, pa.string()),
+            "max_depth": pa.array([max_depth] * len(keep_urls), pa.int32()),
+        }
+    )
+
+
+def sitemap_bytes(table: pa.Table, *, index: bool = False,
+                  gzipped: bool = False) -> bytes:
+    """Rows -> sitemaps.org XML (urlset, or sitemapindex with
+    ``index=True``).  The writer half of the round-trip test and the
+    export path for interchange with sitemap tooling."""
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    root_tag, entry_tag = (
+        ("sitemapindex", "sitemap") if index else ("urlset", "url")
+    )
+    parts = [f'<?xml version="1.0" encoding="UTF-8"?>\n<{root_tag} '
+             f'xmlns="{ns}">']
+    for row in table.to_pylist():
+        parts.append(f"<{entry_tag}>")
+        parts.append(f"<loc>{row['url']}</loc>")
+        ts = row.get("lastmod_ts")
+        if ts and hasattr(ts, "strftime"):
+            parts.append(
+                f"<lastmod>{ts.strftime('%Y-%m-%dT%H:%M:%S+00:00')}"
+                f"</lastmod>"
+            )
+        if not index:
+            if row.get("changefreq"):
+                parts.append(
+                    f"<changefreq>{row['changefreq']}</changefreq>"
+                )
+            pr = row.get("priority", -1)
+            if pr is not None and pr >= 0:
+                parts.append(f"<priority>{pr / 1000:.3f}</priority>")
+        parts.append(f"</{entry_tag}>")
+    parts.append(f"</{root_tag}>\n")
+    out = "".join(parts).encode()
+    return gzip.compress(out) if gzipped else out

@@ -90,3 +90,128 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
         read_jsonl(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert back.to_dict("records") == rows
+
+
+# ---------------------------------------------------------------------------
+# sitemap source (sitemaps.org protocol)
+# ---------------------------------------------------------------------------
+
+def _sitemap_rows() -> pa.Table:
+    import pandas as pd
+
+    ts = pd.to_datetime(
+        ["2024-05-01T12:00:00", "2024-06-02T01:02:03", "1970-01-01T00:00:00"]
+    )
+    return pa.table(
+        {
+            "kind": pa.array(["url"] * 3),
+            "url": pa.array(
+                [
+                    "https://a.example/x",
+                    "https://b.example/y?q=1",
+                    "https://c.example/z",
+                ]
+            ),
+            "lastmod_ts": pa.array(ts, pa.timestamp("us")),
+            "changefreq": pa.array(["daily", "", "never"]),
+            "priority": pa.array([800, -1, 500], pa.int32()),
+        }
+    )
+
+
+def test_sitemap_urlset_roundtrip():
+    from spider_ray.sources import parse_sitemap_bytes, sitemap_bytes
+
+    t = _sitemap_rows()
+    got = parse_sitemap_bytes(sitemap_bytes(t))
+    assert got.column("url").to_pylist() == t.column("url").to_pylist()
+    assert got.column("kind").to_pylist() == ["url"] * 3
+    assert (
+        got.column("lastmod_ts").to_pylist()[:2]
+        == t.column("lastmod_ts").to_pylist()[:2]
+    )
+    assert got.column("changefreq").to_pylist() == ["daily", "", "never"]
+    assert got.column("priority").to_pylist() == [800, -1, 500]
+
+
+def test_sitemap_index_kind_and_gzip():
+    from spider_ray.sources import parse_sitemap_bytes, sitemap_bytes
+
+    t = _sitemap_rows()
+    buf = sitemap_bytes(t, index=True, gzipped=True)
+    got = parse_sitemap_bytes(buf)
+    assert got.column("kind").to_pylist() == ["sitemap"] * 3
+    assert got.column("url").to_pylist() == t.column("url").to_pylist()
+
+
+def test_sitemap_plain_text_and_namespace_prefix():
+    from spider_ray.sources import parse_sitemap_bytes
+
+    txt = b"https://a.example/1\n\n  https://a.example/2  \n"
+    got = parse_sitemap_bytes(txt)
+    assert got.column("url").to_pylist() == [
+        "https://a.example/1", "https://a.example/2"
+    ]
+    # prefixed namespace + urlset detection on local name
+    xml = (
+        b'<?xml version="1.0"?><sm:urlset '
+        b'xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<sm:url><sm:loc>https://p.example/a</sm:loc>"
+        b"<sm:priority>0.25</sm:priority></sm:url></sm:urlset>"
+    )
+    got = parse_sitemap_bytes(xml)
+    assert got.column("url").to_pylist() == ["https://p.example/a"]
+    assert got.column("priority").to_pylist() == [250]
+
+
+def test_sitemap_malformed_xml_falls_back_to_loc_scan():
+    from spider_ray.sources import parse_sitemap_bytes
+
+    bad = (
+        b"<urlset><url><loc>https://x.example/keep</loc></url>"
+        b"<url><loc>https://x.example/keep2</loc>"  # never closed
+    )
+    got = parse_sitemap_bytes(bad)
+    assert got.column("url").to_pylist() == [
+        "https://x.example/keep", "https://x.example/keep2"
+    ]
+
+
+def test_sitemap_distributed_reader_and_seed_table(ray_session, tmp_path):
+    from spider_ray.sources import (
+        read_sitemaps, sitemap_bytes, sitemap_seed_table,
+    )
+
+    t = _sitemap_rows()
+    p1 = os.path.join(tmp_path, "a.xml")
+    p2 = os.path.join(tmp_path, "b.xml.gz")
+    with open(p1, "wb") as f:
+        f.write(sitemap_bytes(t))
+    # second file repeats url[0] with a NEWER lastmod + adds one more
+    import pandas as pd
+
+    t2 = pa.table(
+        {
+            "kind": pa.array(["url"] * 2),
+            "url": pa.array(["https://a.example/x", "https://d.example/w"]),
+            "lastmod_ts": pa.array(
+                pd.to_datetime(["2025-01-01T00:00:00"] * 2),
+                pa.timestamp("us"),
+            ),
+            "changefreq": pa.array(["", ""]),
+            "priority": pa.array([-1, -1], pa.int32()),
+        }
+    )
+    with open(p2, "wb") as f:
+        f.write(sitemap_bytes(t2, gzipped=True))
+    ds = read_sitemaps([p1, p2])
+    seeds = sitemap_seed_table(ds, max_depth=2)
+    urls = seeds.column("url").to_pylist()
+    assert sorted(urls) == [
+        "https://a.example/x", "https://b.example/y?q=1",
+        "https://c.example/z", "https://d.example/w",
+    ]
+    assert len(urls) == len(set(urls))  # dup url collapsed
+    assert seeds.column("max_depth").to_pylist() == [2] * 4
+    # seed shape matches the crawl's seeds.parquet contract
+    assert seeds.schema.names == ["url", "max_depth"]
