@@ -16,7 +16,10 @@ RFC 9309 semantics, pinned:
 
 ``Crawl-delay`` lines are parsed when present but the authoritative
 per-host delay comes from the robots fixture's ``crawl_delay_s`` column
-(FIXTURES.md §3).
+(FIXTURES.md §3).  ``Sitemap:`` lines (a global directive, RFC 9309
+§2.2.4) are collected independently of group selection and exposed as
+``RobotsRules.sitemaps`` — the discovery hook into
+``sources.read_sitemaps`` -> ``sitemap_seed_table``.
 """
 
 from __future__ import annotations
@@ -33,6 +36,11 @@ class RobotsRules:
     # list of (path_prefix, allow) — empty-valued Disallow rules are dropped
     rules: list[tuple[str, bool]] = field(default_factory=list)
     crawl_delay_s: float | None = None
+    # ``Sitemap:`` is a GLOBAL directive (RFC 9309 §2.2.4: independent
+    # of any user-agent group), so every line is kept regardless of
+    # which groups were selected; document order, first-seen dedup.
+    # Consumers feed these to sources.read_sitemaps for seed discovery.
+    sitemaps: list[str] = field(default_factory=list)
 
     def allowed(self, path_query: str) -> bool:
         """Longest-prefix-match; ties -> allow; no match -> allow."""
@@ -62,6 +70,7 @@ def parse_robots(body: bytes | str, agent: str = AGENT_TOKEN) -> RobotsRules:
     cur_rules: list[tuple[str, bool]] = []
     cur_delay: float | None = None
     in_agent_run = False  # consecutive User-agent lines share one group
+    sitemaps: list[str] = []
 
     def flush() -> None:
         nonlocal cur_agents, cur_rules, cur_delay
@@ -93,6 +102,10 @@ def parse_robots(body: bytes | str, agent: str = AGENT_TOKEN) -> RobotsRules:
                 cur_delay = float(value)
             except ValueError:
                 pass
+        elif key == "sitemap":
+            in_agent_run = False
+            if value and value not in sitemaps:
+                sitemaps.append(value)
         else:
             in_agent_run = False
     flush()
@@ -101,11 +114,11 @@ def parse_robots(body: bytes | str, agent: str = AGENT_TOKEN) -> RobotsRules:
     if not ours:
         ours = [g for g in groups if "*" in g[0]]
     if not ours:
-        return RobotsRules()
+        return RobotsRules(sitemaps=sitemaps)
     rules: list[tuple[str, bool]] = []
     delay: float | None = None
     for _, grules, gdelay in ours:
         rules.extend(grules)
         if gdelay is not None:
             delay = gdelay
-    return RobotsRules(rules=rules, crawl_delay_s=delay)
+    return RobotsRules(rules=rules, crawl_delay_s=delay, sitemaps=sitemaps)

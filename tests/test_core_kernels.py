@@ -125,6 +125,28 @@ def test_robots_crawl_delay_parsed():
     assert r.crawl_delay_s == 2.5
 
 
+def test_robots_sitemaps_are_global_and_deduped():
+    body = (
+        b"Sitemap: https://s.example/a.xml\n"
+        b"User-agent: otherbot\n"
+        b"Disallow: /\n"
+        b"Sitemap: https://s.example/b.xml.gz\n"
+        b"User-agent: *\n"
+        b"Disallow: /private/\n"
+        b"Sitemap: https://s.example/a.xml\n"  # dup -> dropped
+    )
+    r = parse_robots(body)  # our agent matches only the * group...
+    assert not r.allowed("/private/x")
+    # ...but Sitemap lines are group-independent (RFC 9309 2.2.4):
+    # all hosts' sitemaps survive, document order, first-seen dedup
+    assert r.sitemaps == [
+        "https://s.example/a.xml", "https://s.example/b.xml.gz",
+    ]
+    # sitemaps survive even with no applicable group at all
+    r2 = parse_robots(b"Sitemap: https://s.example/c.xml\n")
+    assert r2.allowed("/x") and r2.sitemaps == ["https://s.example/c.xml"]
+
+
 # -- seqs / budget -----------------------------------------------------
 def test_child_seq_unique_blocks():
     a = child_seq(5, 63)
