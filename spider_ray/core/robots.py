@@ -9,8 +9,12 @@ RFC 9309 semantics, pinned:
   * rule matching: longest-path-match wins among all Allow/Disallow
     rules of the applicable groups; on equal length Allow wins;
   * an empty ``Disallow:`` value matches nothing (allow-all marker);
-  * only the plain-prefix subset is supported (no ``*``/``$`` wildcards
-    — the fixtures contain none; documented v2 upgrade);
+  * full pattern set: ``*`` matches any octet sequence (including
+    empty), a trailing ``$`` anchors end-of-path (elsewhere ``$`` is a
+    literal), everything else is a literal prefix; specificity for
+    longest-match is the pattern's octet length as written (RFC 9309
+    §2.2.2).  Wildcard-free rules (the entire fixture corpus) keep the
+    plain ``startswith`` fast path;
   * a missing robots.txt (no row in the robots fixture) => allow-all
     with the default crawl delay.
 
@@ -24,9 +28,23 @@ per-host delay comes from the robots fixture's ``crawl_delay_s`` column
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 AGENT_TOKEN = "spider-ray"
+
+
+@lru_cache(maxsize=4096)
+def _wild(pattern: str) -> "re.Pattern[str]":
+    """RFC 9309 path pattern -> compiled matcher.  ``*`` = any octets,
+    trailing ``$`` = end anchor (a mid-pattern ``$`` is literal); the
+    pattern otherwise matches as a prefix, so no anchor means "match at
+    the start, anything may follow"."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(p) for p in body.split("*"))
+    return re.compile(rx + (r"\Z" if anchored else ""))
 
 
 @dataclass
@@ -43,15 +61,19 @@ class RobotsRules:
     sitemaps: list[str] = field(default_factory=list)
 
     def allowed(self, path_query: str) -> bool:
-        """Longest-prefix-match; ties -> allow; no match -> allow."""
+        """Longest-pattern-match; ties -> allow; no match -> allow."""
         best_len = -1
         best_allow = True
         for prefix, allow in self.rules:
-            if path_query.startswith(prefix):
-                plen = len(prefix)
-                if plen > best_len or (plen == best_len and allow):
-                    best_len = plen
-                    best_allow = allow
+            if "*" in prefix or prefix.endswith("$"):
+                if _wild(prefix).match(path_query) is None:
+                    continue
+            elif not path_query.startswith(prefix):
+                continue
+            plen = len(prefix)
+            if plen > best_len or (plen == best_len and allow):
+                best_len = plen
+                best_allow = allow
         return best_allow
 
 

@@ -125,6 +125,29 @@ def test_robots_crawl_delay_parsed():
     assert r.crawl_delay_s == 2.5
 
 
+def test_robots_wildcards_and_anchor():
+    r = parse_robots(
+        b"User-agent: *\n"
+        b"Disallow: /*.pdf$\n"
+        b"Disallow: /tmp*\n"
+        b"Allow: /tmp/keep\n"
+        b"Disallow: /exact$\n"
+    )
+    assert not r.allowed("/docs/file.pdf")      # * spans dirs, $ anchors
+    assert r.allowed("/docs/file.pdf?x=1")      # query breaks the anchor
+    assert not r.allowed("/tmpanything/deep")   # open-ended * prefix
+    assert r.allowed("/tmp/keep/sub")           # longer allow beats /tmp*
+    assert not r.allowed("/exact")
+    assert r.allowed("/exactly")                # $ is a real anchor
+    # mid-pattern $ is a literal, and '*' alone matches everything
+    r2 = parse_robots(b"User-agent: *\nDisallow: /a$b\nDisallow: /priv*\n")
+    assert not r2.allowed("/a$b/c")
+    assert r2.allowed("/ab")
+    r3 = parse_robots(b"User-agent: *\nDisallow: *\nAllow: /ok/path/x\n")
+    assert not r3.allowed("/anything")
+    assert r3.allowed("/ok/path/x")             # longer allow wins over *
+
+
 def test_robots_sitemaps_are_global_and_deduped():
     body = (
         b"Sitemap: https://s.example/a.xml\n"
