@@ -337,6 +337,15 @@ class CrawlDriver:
         # happens per bucket inside map_groups tasks — no global sort
         # shuffle, scales linearly with bucket count.  One-time cost; at
         # corpus scale this is the standard initial re-partitioning pass.
+        # NOTE round-4: ops.write_bucket_layout (the sort-based form that
+        # silenced the index builders' empty-partition warnings) was
+        # measured HERE and rejected: it writes ~2.2x the part files
+        # (every sort-block boundary splits a bucket), and e7's 128
+        # fetch tasks pay the extra per-file metadata opens — headline
+        # 6-12% slower in both interleaved A/B pairs.  One file per
+        # bucket wins for the corpus; the groupby's empty-partition
+        # RefBundle warnings here are cosmetic and in the UNTIMED
+        # one-time prep pass (see BENCH/BASELINE.md).
         os.makedirs(tmp, exist_ok=True)
 
         def sort_write_bucket(t: pa.Table) -> pa.Table:

@@ -237,23 +237,10 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 8,
         df = df.assign(bucket=(mat @ cen.T).argmax(axis=1).astype(np.int32))
         return df
 
-    def write_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        b = int(t.column("bucket")[0].as_py())
-        d = os.path.join(tmp, f"bucket={b}")
-        os.makedirs(d, exist_ok=True)
-        pq.write_table(t.drop_columns(["bucket"]),
-                       os.path.join(d, "part-0.parquet"))
-        return pa.table({"bucket": pa.array([b], pa.int32()),
-                         "rows": pa.array([len(t)], pa.int64())})
-
-    (
+    ops.write_bucket_layout(
         ops.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .map_batches(assign, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(write_bucket, batch_format="pyarrow")
-        .materialize()
+        .map_batches(assign, batch_format="pandas"),
+        tmp, sort_keys=["vec_id"],
     )
     try:
         os.rename(tmp, index_dir)

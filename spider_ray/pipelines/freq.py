@@ -382,26 +382,10 @@ def build_text_index(sf_dir: str, index_dir: str | None = None,
             }
         )
 
-    def write_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        b = int(t.column("bucket")[0].as_py())
-        t = t.drop_columns(["bucket"])
-        t = t.take(pc.sort_indices(
-            t, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
-        ))
-        d = os.path.join(tmp, f"bucket={b}")
-        os.makedirs(d, exist_ok=True)
-        pq.write_table(t, os.path.join(d, "part-0.parquet"))
-        return pa.table({"bucket": pa.array([b], pa.int32()),
-                         "rows": pa.array([len(t)], pa.int64())})
-
-    (
+    ops.write_bucket_layout(
         ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(postings, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(write_bucket, batch_format="pyarrow")
-        .materialize()
+        .map_batches(postings, batch_format="pyarrow"),
+        tmp, sort_keys=["term", "doc_id"],
     )
     with open(os.path.join(tmp, "_META"), "w") as f:
         f.write(f"n_buckets={n_buckets}\n")
@@ -495,27 +479,10 @@ def build_text_index_pos(sf_dir: str, index_dir: str | None = None,
             }
         )
 
-    def write_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        b = int(t.column("bucket")[0].as_py())
-        t = t.drop_columns(["bucket"])
-        t = t.take(pc.sort_indices(
-            t, sort_keys=[("term", "ascending"), ("doc_id", "ascending"),
-                          ("pos", "ascending")]
-        ))
-        d = os.path.join(tmp, f"bucket={b}")
-        os.makedirs(d, exist_ok=True)
-        pq.write_table(t, os.path.join(d, "part-0.parquet"))
-        return pa.table({"bucket": pa.array([b], pa.int32()),
-                         "rows": pa.array([len(t)], pa.int64())})
-
-    (
+    ops.write_bucket_layout(
         ops.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(postings, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(write_bucket, batch_format="pyarrow")
-        .materialize()
+        .map_batches(postings, batch_format="pyarrow"),
+        tmp, sort_keys=["term", "doc_id", "pos"],
     )
     with open(os.path.join(tmp, "_META"), "w") as f:
         f.write(f"n_buckets={n_buckets}\n")
