@@ -36,6 +36,18 @@ redirect-loop protection across rounds for free via the seen set;
 over-limit same-host chains land in ``redirect_to`` the same way.
 The ``redirects`` column counts followed hops per row (rides the
 live-mode metrics as ``fetch_redirects``).
+
+Conditional revalidation (re-visit bandwidth): when the input batch
+carries an ``etag`` column (the validator persisted from a prior
+fetch's output), each non-empty value is sent as ``If-None-Match``;
+a 304 sets ``not_modified = 1`` with an empty body (``found`` stays 0
+— there is no new entity to extract; the caller keeps its stored
+text/checksum).  Every 200 returns the CURRENT entity tag in the
+output ``etag`` column for the caller to persist (pagestate is the
+natural home).  A redirect chain invalidates the validator — it was
+minted for the original url's entity — so hops re-fetch
+unconditionally.  The fake transport's etag is content-derived
+(sha1 of the body), so the 304 path is deterministic and exact.
 """
 
 from __future__ import annotations
@@ -74,30 +86,36 @@ class LiveFetcher:
             )
         self._session = None  # the (stub) connection pool handle
 
-    def _fetch_one(self, url: str) -> tuple[bytes, int, str]:
-        """(body, status, location).  Stub: deterministic synthetic
-        page keyed on the url; ~1/8 of urls 404, ~1/32 time out
-        (status 599), ~1/16 301 to a same-host child path and ~1/32
-        301 off-host, so the miss, timeout and both redirect paths are
-        all exercised.  ``/rloop`` urls redirect to themselves (the
-        over-limit guard's deterministic test case)."""
+    def _fetch_one(self, url: str,
+                   etag: str = "") -> tuple[bytes, int, str, str]:
+        """(body, status, location, etag).  Stub: deterministic
+        synthetic page keyed on the url; ~1/8 of urls 404, ~1/32 time
+        out (status 599), ~1/16 301 to a same-host child path and
+        ~1/32 301 off-host, so the miss, timeout and both redirect
+        paths are all exercised.  ``/rloop`` urls redirect to
+        themselves (the over-limit guard's deterministic test case).
+        A non-empty ``etag`` plays If-None-Match: the fake entity tag
+        is content-derived, so a matching validator returns 304."""
         d = hashlib.sha1(url.encode()).digest()
         if "/rloop" in url:
-            return b"", 301, url
+            return b"", 301, url, ""
         if d[0] % 32 == 1:
-            return b"", 599, ""  # simulated timeout
+            return b"", 599, "", ""  # simulated timeout
         if d[0] % 8 == 0:
-            return b"", 404, ""
+            return b"", 404, "", ""
         if d[0] % 16 == 6:
             # same-host hop; relative Location exercises the urljoin
-            return b"", 301, urlsplit(url).path.rstrip("/") + "/r"
+            return b"", 301, urlsplit(url).path.rstrip("/") + "/r", ""
         if d[0] % 32 == 12:
-            return b"", 301, f"http://offsite-{d.hex()[:4]}.example/x"
+            return b"", 301, f"http://offsite-{d.hex()[:4]}.example/x", ""
         body = (
             f"<html><body><h1>{url}</h1><p>fake body {d.hex()[:16]}</p>"
             f'<a href="{url}/next">n</a></body></html>'
         ).encode()
-        return body, 200, ""
+        cur_etag = hashlib.sha1(body).hexdigest()
+        if etag and etag == cur_etag:
+            return b"", 304, "", cur_etag
+        return body, 200, "", cur_etag
 
     def _reserve(self, domains: list[str],
                  counts: list[int]) -> dict[str, tuple[float, float]]:
@@ -143,12 +161,19 @@ class LiveFetcher:
             uniq[domains[i]] = uniq.get(domains[i], 0) + 1
         slots = self._reserve(list(uniq), list(uniq.values()))
 
+        if "etag" in batch.schema.names:
+            etags_in = batch.column("etag").to_pylist()
+            etags_in = ["" if e is None else e for e in etags_in]
+        else:
+            etags_in = [""] * n
         bodies: list[bytes] = [b""] * n
         found = np.zeros(n, dtype=np.int8)
         timeout = np.zeros(n, dtype=np.int8)
         n_bytes = np.zeros(n, dtype=np.int64)
         redirects = np.zeros(n, dtype=np.int32)
         redirect_to: list[str] = [""] * n
+        not_modified = np.zeros(n, dtype=np.int8)
+        etags_out: list[str] = [""] * n
         prev_domain = None
         for i in order:
             d = domains[i]
@@ -161,10 +186,10 @@ class LiveFetcher:
             elif spacing > 0:
                 time.sleep(spacing)
             cur = urls[i]
-            body, status, loc = self._fetch_one(cur)
+            body, status, loc, et = self._fetch_one(cur, etags_in[i])
             # follow same-host 3xx inline (paced inside this domain's
             # reserved window); surface anything else in redirect_to
-            while 300 <= status < 400:
+            while 300 <= status < 400 and status != 304:
                 target = urljoin(cur, loc) if loc else ""
                 if (not target
                         or urlsplit(target).netloc != urlsplit(cur).netloc
@@ -175,19 +200,28 @@ class LiveFetcher:
                     time.sleep(spacing)
                 redirects[i] += 1
                 cur = target
-                body, status, loc = self._fetch_one(cur)
+                # the validator belonged to the ORIGINAL url's entity
+                body, status, loc, et = self._fetch_one(cur)
             bodies[i] = body
+            etags_out[i] = et
             if status == 200:
                 found[i] = 1
                 n_bytes[i] = len(body)
+            elif status == 304:
+                not_modified[i] = 1
             elif status == 599:
                 timeout[i] = 1
-        out = batch.append_column("html", pa.array(bodies, pa.binary()))
+        out = batch
+        if "etag" in out.schema.names:
+            out = out.drop_columns(["etag"])  # replaced by the fresh tag
+        out = out.append_column("html", pa.array(bodies, pa.binary()))
         out = out.append_column("lang", pa.array([""] * n, pa.string()))
         out = out.append_column("found", pa.array(found))
         out = out.append_column("n_bytes", pa.array(n_bytes))
         out = out.append_column("timeout", pa.array(timeout))
         out = out.append_column("redirects", pa.array(redirects))
-        return out.append_column(
+        out = out.append_column(
             "redirect_to", pa.array(redirect_to, pa.string())
         )
+        out = out.append_column("not_modified", pa.array(not_modified))
+        return out.append_column("etag", pa.array(etags_out, pa.string()))

@@ -162,6 +162,41 @@ def test_redirect_cross_host_not_followed():
     assert urlsplit(tgt).netloc != "d.example"
 
 
+def test_conditional_fetch_304_roundtrip():
+    """First fetch yields the entity tag; re-fetching with it returns
+    304 (not_modified, no body, found stays 0); a stale validator
+    re-fetches in full with a fresh tag."""
+    import pyarrow as pa
+
+    from spider_ray.crawl.fetcher import LiveFetcher
+
+    f = LiveFetcher(fake=True, politeness_scale=0.0)
+    url = "http://d.example/p2"  # plain-200 url (no 404/301/599 rule)
+    import hashlib
+
+    d = hashlib.sha1(url.encode()).digest()
+    assert d[0] % 8 and d[0] % 32 != 1 and d[0] % 16 != 6 \
+        and d[0] % 32 != 12
+    first = f(pa.table({"url": pa.array([url]),
+                        "domain": pa.array(["d.example"])}))
+    assert first.column("found")[0].as_py() == 1
+    tag = first.column("etag")[0].as_py()
+    assert tag != ""
+    again = f(pa.table({"url": pa.array([url]),
+                        "domain": pa.array(["d.example"]),
+                        "etag": pa.array([tag])}))
+    assert again.column("not_modified")[0].as_py() == 1
+    assert again.column("found")[0].as_py() == 0
+    assert again.column("html")[0].as_py() == b""
+    assert again.column("etag")[0].as_py() == tag  # current tag echoed
+    stale = f(pa.table({"url": pa.array([url]),
+                        "domain": pa.array(["d.example"]),
+                        "etag": pa.array(["stale-validator"])}))
+    assert stale.column("not_modified")[0].as_py() == 0
+    assert stale.column("found")[0].as_py() == 1
+    assert stale.column("etag")[0].as_py() == tag
+
+
 def test_redirect_loop_bounded_by_max_redirects():
     out = _fetch_batch(["http://d.example/rloop"])
     assert out.column("found")[0].as_py() == 0
