@@ -32,6 +32,14 @@ def main() -> None:
                     help="full Public-Suffix-List registrable domains "
                          "(deployment mode; default is the pinned "
                          "two-level heuristic the goldens use)")
+    ap.add_argument("--sitemaps", default=None, metavar="PATH",
+                    help="seed round 0 from sitemap file(s)/dir "
+                         "(sitemaps.org urlset/index/plain-text, .gz ok) "
+                         "instead of the fixture's seeds.parquet; "
+                         "ignored when resuming a populated checkpoint")
+    ap.add_argument("--sitemap-depth", type=int, default=0,
+                    help="max_depth for sitemap-discovered seeds "
+                         "(0 = exactly the listed pages)")
     args = ap.parse_args()
 
     import ray
@@ -65,9 +73,22 @@ def main() -> None:
             overrides["num_shards"] = args.shards
         if args.psl:
             overrides["psl"] = True
+        seed_urls = None
+        if args.sitemaps:
+            from spider_ray.sources import read_sitemaps, sitemap_seed_table
+
+            seed_urls = sitemap_seed_table(
+                read_sitemaps(args.sitemaps)
+            ).column("url").to_pylist()
+            if not seed_urls:
+                raise SystemExit(f"--sitemaps {args.sitemaps}: no urls found")
+            # max_depth is a crawl-config scalar (the fixture takes it
+            # from its seeds.parquet); sitemap seeding overrides it
+            overrides["max_depth"] = args.sitemap_depth
         cfg = load_crawl_config(args.fixture, **overrides)
         drv = CrawlDriver(
-            args.fixture, args.ckpt, cfg, exact_seen=not args.no_exact_seen
+            args.fixture, args.ckpt, cfg, exact_seen=not args.no_exact_seen,
+            seed_urls=seed_urls,
         )
         metrics = drv.run(max_rounds=args.rounds)
         for _ in range(args.revisit):

@@ -204,6 +204,7 @@ class CrawlDriver:
         actor_namespace: str | None = None,
         fetch_mode: str = "corpus",
         fetcher_kwargs: dict | None = None,
+        seed_urls: list[str] | None = None,
     ) -> None:
         self.fixture_dir = fixture_dir
         self.ckpt_dir = ckpt_dir
@@ -225,6 +226,11 @@ class CrawlDriver:
             raise ValueError(f"unknown fetch_mode {fetch_mode!r}")
         self.fetch_mode = fetch_mode
         self.fetcher_kwargs = fetcher_kwargs or {}
+        # S1 override: an explicit seed list (e.g. sitemap discovery via
+        # sources.sitemap_seed_table) replaces the fixture's
+        # seeds.parquet for round 0; resumed checkpoints never re-seed,
+        # so this only matters on a fresh ckpt_dir.
+        self.seed_urls = seed_urls
         self.metrics: list[dict] = []
         # side threads for parquet sinks + metric aggregates: sinks feed
         # nothing downstream, so their executions overlap the round's
@@ -367,7 +373,8 @@ class CrawlDriver:
         os.rename(tmp, dest_dir)
 
     def init_round0(self) -> None:
-        seeds = load_seed_urls(self.fixture_dir)
+        seeds = (self.seed_urls if self.seed_urls is not None
+                 else load_seed_urls(self.fixture_dir))
         table = stages.seed_frontier_table(seeds)
         tmp = _round_dir(self.ckpt_dir, 0) + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)

@@ -224,3 +224,44 @@ def test_reserve_fetch_slots_serializes_domain(ray_session, micro_fixture):
     (s3, sp3), = ray.get(g.reserve_fetch_slots.remote([d], [100], 0.0))
     assert sp3 == 0.0
     ray.kill(g)
+
+
+def test_sitemap_seeded_crawl_round0(ray_session, micro_fixture, tmp_path):
+    """CrawlDriver(seed_urls=...) — the --sitemaps CLI path — seeds
+    round 0 from sitemap-discovered urls instead of seeds.parquet."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spider_ray.core.config import load_seed_urls
+    from spider_ray.crawl.driver import CrawlDriver
+    from spider_ray.sources import (
+        read_sitemaps, sitemap_bytes, sitemap_seed_table,
+    )
+
+    fixture_seeds = load_seed_urls(micro_fixture)
+    picked = fixture_seeds[:3]
+    sm = tmp_path / "seeds.xml"
+    import pyarrow as pa
+
+    sm.write_bytes(sitemap_bytes(pa.table({
+        "kind": pa.array(["url"] * len(picked)),
+        "url": pa.array(picked),
+        "lastmod_ts": pa.array([0] * len(picked), pa.timestamp("us")),
+        "changefreq": pa.array([""] * len(picked)),
+        "priority": pa.array([-1] * len(picked), pa.int32()),
+    })))
+    seed_urls = sitemap_seed_table(
+        read_sitemaps(str(sm))
+    ).column("url").to_pylist()
+    assert seed_urls == picked
+
+    ckpt = str(tmp_path / "ckpt_sm")
+    drv = CrawlDriver(micro_fixture, ckpt, seed_urls=seed_urls)
+    drv.run(max_rounds=1)
+    drv.close()
+    frontier0 = pa.concat_tables([
+        pq.read_table(f) for f in sorted(
+            glob.glob(f"{ckpt}/round=0000/frontier/*.parquet"))
+    ])
+    assert sorted(frontier0.column("url").to_pylist()) == sorted(picked)
