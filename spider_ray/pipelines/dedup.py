@@ -1454,7 +1454,8 @@ def _edit_base_aug(sf_dir: str):
 
 
 def edit_distance_pairs_documents(sf_dir: str,
-                                  max_dist: int = EDIT_MAX_DIST):
+                                  max_dist: int = EDIT_MAX_DIST,
+                                  base=None):
     """Edit-distance similarity join over the 40-char English document
     prefixes: all pairs with Levenshtein distance <= 2, EXACTLY — the
     PassJoin pigeonhole makes candidate generation lossless without a
@@ -1474,8 +1475,13 @@ def edit_distance_pairs_documents(sf_dir: str,
     candidates form by a vectorized merge INSIDE each key co-partition
     (bucket sizes are prefix-frequency bounded: max 7 at sf0.1), are
     pair-deduped by one exact_dedup, and only then hit the 40x40
-    batched DP verifier.  No stage is O(n^2) in the corpus."""
-    ds = _edit_base_aug(sf_dir)
+    batched DP verifier.  No stage is O(n^2) in the corpus.
+
+    ``base``: a precomputed (ideally materialized) _edit_base_aug
+    dataset — entity_clusters_edit_distance passes its own so the base
+    pass (which includes a bounded take_all for the planted twins)
+    runs once, not once per consumer."""
+    ds = _edit_base_aug(sf_dir) if base is None else base
     d = max_dist
 
     def keys(t: pa.Table) -> pa.Table:
@@ -1585,10 +1591,13 @@ def entity_clusters_edit_distance(sf_dir: str):
     and cc's (min-label propagation, (node,label) rows only) shapes;
     cluster sizes are one combiner pass over the labels."""
     # both are small by contract (pair table / id column); materialize
-    # so the closure does not re-run the PassJoin lineage
-    edges = edit_distance_pairs_documents(sf_dir).select_columns(
+    # so the closure does not re-run the PassJoin lineage.  The base
+    # prefix table is computed ONCE and shared by the join's key
+    # explosion and the node list (one fewer read + bounded take_all).
+    base = _edit_base_aug(sf_dir).materialize()
+    edges = edit_distance_pairs_documents(sf_dir, base=base).select_columns(
         ["doc_a", "doc_b"]).materialize()
-    nodes = _edit_base_aug(sf_dir).select_columns(["doc_id"]).materialize()
+    nodes = base.select_columns(["doc_id"]).materialize()
 
     n_edges = edges.count()
     if n_edges <= ENTITY_DRIVER_EDGE_THRESHOLD:
