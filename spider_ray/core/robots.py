@@ -28,7 +28,6 @@ per-host delay comes from the robots fixture's ``crawl_delay_s`` column
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass, field
 from functools import lru_cache
 
@@ -36,15 +35,42 @@ AGENT_TOKEN = "spider-ray"
 
 
 @lru_cache(maxsize=4096)
-def _wild(pattern: str) -> "re.Pattern[str]":
-    """RFC 9309 path pattern -> compiled matcher.  ``*`` = any octets,
-    trailing ``$`` = end anchor (a mid-pattern ``$`` is literal); the
-    pattern otherwise matches as a prefix, so no anchor means "match at
-    the start, anything may follow"."""
+def _wild_parts(pattern: str) -> tuple[tuple[str, ...], bool]:
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
-    rx = ".*".join(re.escape(p) for p in body.split("*"))
-    return re.compile(rx + (r"\Z" if anchored else ""))
+    return tuple(body.split("*")), anchored
+
+
+def _wild_match(pattern: str, s: str) -> bool:
+    """RFC 9309 path pattern match: ``*`` = any octets, trailing ``$``
+    = end anchor (a mid-pattern ``$`` is literal); unanchored patterns
+    match any PREFIX of ``s``.  Deliberately NOT a regex: robots.txt is
+    remote-controlled input, and a ``lit*lit*lit...`` pattern compiled
+    to ``.*``-joined re backtracks exponentially on crafted paths.
+    This is the classic glob segment scan — greedy leftmost `find` per
+    middle segment is complete for existence (taking the earliest
+    occurrence never blocks a later segment), O(len(s) * segments)
+    worst case."""
+    parts, anchored = _wild_parts(pattern)
+    first = parts[0]
+    if not s.startswith(first):
+        return False
+    if len(parts) == 1:  # no '*' at all
+        return not anchored or len(s) == len(first)
+    pos = len(first)
+    for seg in parts[1:-1]:
+        if not seg:
+            continue  # '**' — zero-width
+        i = s.find(seg, pos)
+        if i < 0:
+            return False
+        pos = i + len(seg)
+    last = parts[-1]
+    if anchored:
+        return (not last) or (
+            s.endswith(last) and len(s) - len(last) >= pos
+        )
+    return (not last) or s.find(last, pos) >= 0
 
 
 @dataclass
@@ -66,7 +92,7 @@ class RobotsRules:
         best_allow = True
         for prefix, allow in self.rules:
             if "*" in prefix or prefix.endswith("$"):
-                if _wild(prefix).match(path_query) is None:
+                if not _wild_match(prefix, path_query):
                     continue
             elif not path_query.startswith(prefix):
                 continue

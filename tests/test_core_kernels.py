@@ -148,6 +148,49 @@ def test_robots_wildcards_and_anchor():
     assert r3.allowed("/ok/path/x")             # longer allow wins over *
 
 
+def test_robots_wildcard_matcher_equals_regex_reference():
+    """The linear glob scan must agree with the naive regex translation
+    (the semantics definition) on an exhaustive small alphabet."""
+    import itertools
+    import re
+
+    from spider_ray.core.robots import _wild_match
+
+    def ref(pattern: str, s: str) -> bool:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = ".*".join(re.escape(p) for p in body.split("*"))
+        return re.match(rx + (r"\Z" if anchored else ""), s) is not None
+
+    atoms = ["a", "b", "*", "$"]
+    pats = ["".join(p) for n in range(5)
+            for p in itertools.product(atoms, repeat=n)]
+    strs = ["".join(p) for n in range(6)
+            for p in itertools.product(["a", "b", "$"], repeat=n)]
+    checked = 0
+    for pat in pats:
+        for s in strs:
+            assert _wild_match(pat, s) == ref(pat, s), (pat, s)
+            checked += 1
+    assert checked > 100_000
+
+
+def test_robots_wildcard_matcher_is_linear_on_redos_input():
+    """robots.txt is remote-controlled: a lit*lit*... pattern must not
+    backtrack exponentially on a crafted non-matching path (the reason
+    the matcher is a glob scan, not a compiled '.*'-joined regex)."""
+    import time
+
+    r = parse_robots(
+        ("User-agent: *\nDisallow: /" + "a*" * 24 + "b\n").encode()
+    )
+    path = "/" + "a" * 5000  # never matches: no trailing 'b'
+    t0 = time.perf_counter()
+    assert r.allowed(path)
+    assert not r.allowed("/" + "a" * 5000 + "b")
+    assert time.perf_counter() - t0 < 0.5
+
+
 def test_robots_sitemaps_are_global_and_deduped():
     body = (
         b"Sitemap: https://s.example/a.xml\n"
