@@ -192,7 +192,7 @@ _TOK = re.compile(
     r"|<(?P<close>/)\s*(?P<cname>[a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
     r"|<(?P<name>[a-zA-Z][-.a-zA-Z0-9:_]*)"
     r"(?P<attrs>(?:\s+[^\s/>=\"'][^\s=>\"']*"
-    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>\"'][^\s>]*|))?)*)"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>\"'][^\s>]*|))?)*+)"
     r"\s*(?P<sc>/?)>"
     r"|(?P<other><)"
 )
@@ -207,9 +207,19 @@ _TOK = re.compile(
 # after the excluded name so <abbr>/<address> stay boring while <a> is
 # interesting.
 _INTER = r"/?(?:a|script|style|noscript|template|head|iframe|svg)[\t\n\r\f />]"
+# The attr LOOPS are possessive (*+, python 3.11): crawl html is
+# remote-controlled, and on an unterminated tag like "<p a= a= a= …"
+# the value/next-attr split is ambiguous, so a backtracking loop
+# explores exponentially many splits before failing (measured: hang on
+# 20k repeats; <1 ms possessive).  Possessive is language-preserving
+# here: every split point is decided by disjoint character classes
+# except the value tail, where the greedy parse either reaches the
+# same '>' as any backtracked parse or no parse reaches one (a shorter
+# value leaves text no other grammar rule can consume) — pinned by the
+# adversarial timing test and the old/new differential fuzz.
 _WF_ATTRS = (
     r"(?:\s+[^\s/>=\"'][^\s=>\"']*"
-    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>\"'][^\s>]*|))?)*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>\"'][^\s>]*|))?)*+"
 )
 # Segment grammar tightens the boring-tag attr grammar in two ways:
 # bare quotes are excluded from unquoted values (<div a=b"c>), and '<'
@@ -226,7 +236,7 @@ _WF_ATTRS = (
 # for it to anchor on.
 _WF_ATTRS_SEG = (
     r"(?:\s+[^\s/>=\"'<][^\s=>\"'<]*"
-    r"(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^\s>\"'<]+|))?)*"
+    r"(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^\s>\"'<]+|))?)*+"
 )
 _SEG = re.compile(
     r"(?:[^<]+|<(?!" + _INTER + r")/?[a-zA-Z][-.a-zA-Z0-9:_]*"
@@ -270,7 +280,7 @@ _BLOCK_NAMES = (
 # START inside another tag's quoted attr value behave as before
 # (leftmost-match swallows them or the leftover-'<' guard below routes
 # the segment to the careful replay), same as the old _WF_ATTRS form.
-_Q_SCAN = r"[^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*"
+_Q_SCAN = r"[^>\"']*+(?:(?:\"[^\"]*+\"|'[^']*+')[^>\"']*+)*+"
 _BLOCK_ANY = re.compile(
     r"</?" + _BLOCK_NAMES + _Q_SCAN + r">", re.IGNORECASE
 )

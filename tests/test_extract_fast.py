@@ -177,3 +177,23 @@ _soup_atom = st.one_of(
 @given(st.lists(_soup_atom, max_size=25).map("".join))
 def test_soup_equivalence(html):
     _assert_equiv(html)
+
+
+def test_adversarial_inputs_terminate_fast():
+    """Crawl html is remote-controlled: unterminated tags with
+    ambiguous attr splits must not make the scanner backtrack
+    super-linearly (the reason the attr loops are possessive — the
+    pre-fix grammar HUNG on the first case below)."""
+    import time
+
+    cases = [
+        "<p " + "a= " * 20000,
+        "<em " + "a=b= " * 20000,
+        "<div" + " a=b" * 20000,
+        "<em " + 'a="x" ' * 20000 + "oops",
+        "<div a=\"" + "x" * 100000,
+    ]
+    t0 = time.perf_counter()
+    for s in cases:
+        extract_text_and_links(s)
+    assert time.perf_counter() - t0 < 2.0
