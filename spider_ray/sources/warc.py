@@ -58,7 +58,14 @@ def parse_warc_bytes(buf: bytes) -> pa.Table:
         if hdr_end < 0:
             break
         headers = _parse_headers(buf[start + 5:hdr_end])
-        length = int(headers.get("content-length", "0"))
+        # Content-Length is remote-controlled: a negative value would
+        # move pos BACKWARD (bytes.find clamps negative starts to 0 ->
+        # infinite loop on the same record), junk would raise out of
+        # the read task; clamp both to "empty payload, keep scanning"
+        try:
+            length = max(0, int(headers.get("content-length", "0")))
+        except ValueError:
+            length = 0
         payload = buf[hdr_end + 4:hdr_end + 4 + length]
         pos = hdr_end + 4 + length
         if headers.get("warc-type", "").lower() != "response":

@@ -215,3 +215,41 @@ def test_sitemap_distributed_reader_and_seed_table(ray_session, tmp_path):
     assert seeds.column("max_depth").to_pylist() == [2] * 4
     # seed shape matches the crawl's seeds.parquet contract
     assert seeds.schema.names == ["url", "max_depth"]
+
+
+def test_warc_hostile_content_length_terminates():
+    """Content-Length is remote-controlled: negative values used to
+    move the scan position backward (bytes.find clamps negative starts
+    to 0 -> infinite loop), junk raised out of the read task.  All
+    must terminate and keep scanning subsequent records."""
+    from spider_ray.sources.warc import parse_warc_bytes
+
+    for cl in (b"-10000", b"-50", b"abc", b"999999999"):
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: http://x/\r\n"
+               b"Content-Length: " + cl + b"\r\n\r\npayload\r\n\r\n")
+        t = parse_warc_bytes(rec + rec)
+        assert t.num_rows >= 1  # parsed, did not hang or raise
+
+
+def test_sitemap_entity_bomb_safe():
+    """A billion-laughs DOCTYPE must not expand: ElementTree refuses
+    the entity, and the malformed-XML fallback returns the literal
+    (un-expanded) loc text in bounded time."""
+    import time
+
+    from spider_ray.sources import parse_sitemap_bytes
+
+    bomb = (
+        b'<?xml version="1.0"?><!DOCTYPE lolz [<!ENTITY l0 "lol">'
+        + b"".join(
+            b'<!ENTITY l%d "%s">' % (i, (b"&l%d;" % (i - 1)) * 10)
+            for i in range(1, 9)
+        )
+        + b']><urlset><url><loc>http://x/&l8;</loc></url></urlset>'
+    )
+    t0 = time.perf_counter()
+    t = parse_sitemap_bytes(bomb)
+    assert time.perf_counter() - t0 < 5.0
+    assert t.num_rows == 1
+    assert len(t.column("url")[0].as_py()) < 100  # never expanded
