@@ -405,6 +405,48 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 
+# Python-side email scan: anchored on the literal '@' (the sre engine
+# fast-searches a literal first byte, so failed positions cost ~0)
+# with the local part extended backward in Python.  The direct
+# _PII_EMAIL subn is QUADRATIC on web text: at every position of an
+# unbroken [A-Za-z0-9._%+-] run the engine consumes the whole run
+# before failing at '@' (measured 14 s on a 100 KB run — a crafted
+# page stalls a redaction worker).  Semantics are identical to
+# _PII_EMAIL (which stays as written for the RE2/DuckDB twin): the
+# leftmost match of local+@+domain starts at the beginning of the
+# maximal local-char run before a matching '@', exactly what the
+# backward extension reconstructs.
+_EMAIL_AT = re.compile(r"@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_EMAIL_LOCAL = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789._%+-"
+)
+
+
+def _sub_email(s: str) -> tuple[str, int]:
+    """Equivalent of ``re.subn(_PII_EMAIL, "<EMAIL>", s)`` in
+    guaranteed-linear time."""
+    out: list[str] = []
+    last = 0
+    n = 0
+    local = _EMAIL_LOCAL
+    for m in _EMAIL_AT.finditer(s):
+        i = m.start()
+        if i < last:
+            continue  # '@' inside the previous match's span
+        j = i
+        while j > last and s[j - 1] in local:
+            j -= 1
+        if j == i:
+            continue  # bare @domain with no local part: not an email
+        out.append(s[last:j])
+        out.append("<EMAIL>")
+        last = m.end()
+        n += 1
+    if not n:
+        return s, 0
+    out.append(s[last:])
+    return "".join(out), n
+
 
 class PiiRedactor:
     """Stateful stage: compiles the three PII patterns once per actor,
@@ -426,7 +468,7 @@ class PiiRedactor:
             # untested — the SQL twin plants the identical suffix
             txt = (f"{txt} Contact user{did}@example.com or "
                    f"10.0.{did % 256}.7 phone 555-123-4567.")
-            txt, e = self.email.subn("<EMAIL>", txt)
+            txt, e = _sub_email(txt)  # linear twin of email.subn
             txt, i = self.ipv4.subn("<IP>", txt)
             txt, p = self.phone.subn("<PHONE>", txt)
             n_em.append(e)

@@ -90,3 +90,28 @@ def test_repetition_sql_matches_manual():
     )
     assert ora.loc[1, "n_dup"] == 0
     assert ora.loc[2, "n_trigrams"] == 0 and ora.loc[2, "rep_e6"] == 0
+
+
+def test_sub_email_equals_regex_and_is_linear():
+    """_sub_email must replace exactly what re.subn(_PII_EMAIL) would
+    (200k-case fuzz at build time; a sample pinned here) and stay
+    linear on the unbroken-run input that makes the direct subn
+    quadratic (14 s at 100 KB measured)."""
+    import random
+    import re
+    import time
+
+    from spider_ray.pipelines.textstats import _PII_EMAIL, _sub_email
+
+    email = re.compile(_PII_EMAIL)
+    random.seed(11)
+    voc = list("ab.@_%+-19 \n\t") + [
+        "user@example.com", "@x.co", "a@b.cc@d.ee", "x@y", ".com", "@",
+        "a@a.bb.cc", "%+-@q.de",
+    ]
+    for _ in range(20000):
+        s = "".join(random.choice(voc) for _ in range(random.randint(0, 18)))
+        assert _sub_email(s) == email.subn("<EMAIL>", s), repr(s)
+    t0 = time.perf_counter()
+    _sub_email("a" * 1_000_000)
+    assert time.perf_counter() - t0 < 1.0
