@@ -225,11 +225,20 @@ class Bpe:
     def n_tokens_word(self, word: str) -> int:
         """Token count of one word, memoized — the corpora repeat a
         small word vocabulary heavily, so the cache turns encoding
-        into a dict lookup on the hot path."""
-        n = self._word_cache.get(word)
+        into a dict lookup on the hot path.  Bounded: web text is
+        remote-controlled, and an adversarial stream of unique words
+        would otherwise grow a long-lived actor's cache without limit
+        (long words are also the least likely to repeat, so they skip
+        the cache entirely)."""
+        if len(word) > 64:
+            return len(self.encode_word(word))
+        cache = self._word_cache
+        n = cache.get(word)
         if n is None:
+            if len(cache) >= 1_000_000:
+                cache.clear()  # crude but safe: refill from live data
             n = len(self.encode_word(word))
-            self._word_cache[word] = n
+            cache[word] = n
         return n
 
     def encode(self, text: str) -> list[bytes]:
