@@ -724,7 +724,8 @@ class CrawlDriver:
             # needed after e11 (for the out/pagestate row counts)
             sum_cols = ["found", "n_bytes", "links_raw"] + stages._COUNTER_KEYS
             if self.fetch_mode == "live":
-                sum_cols.extend(("timeout", "redirects", "not_modified"))
+                sum_cols.extend(
+                    ("timeout", "redirects", "not_modified", "oversize"))
             fut_sums = io_pool.submit(_col_sums, ex, sum_cols)
             hits = _filter_eq(ex, "found", 1)
 
@@ -833,6 +834,7 @@ class CrawlDriver:
                 m["fetch_timeouts"] = sums["timeout"]
                 m["fetch_redirects"] = sums["redirects"]
                 m["fetch_not_modified"] = sums["not_modified"]
+                m["fetch_oversize"] = sums["oversize"]
             m["parsed"] = m["fetched"]
             m["bytes_in"] = sums["n_bytes"]
             m["links_raw"] = sums["links_raw"]

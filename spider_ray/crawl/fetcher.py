@@ -69,11 +69,21 @@ class LiveFetcher:
                  gate_handles: list | None = None,
                  pool_size: int = 0,
                  politeness_scale: float = 1.0,
-                 max_redirects: int = 5) -> None:
+                 max_redirects: int = 5,
+                 max_body_bytes: int = 8 << 20) -> None:
         self.timeout_s = timeout_s
         self.user_agent = user_agent
         self.fake = fake
         self.max_redirects = max_redirects
+        # response bodies are remote-controlled: without a cap one
+        # multi-GB response blows the worker heap and the object-store
+        # block it lands in.  Oversize responses count as fetch misses
+        # (the `oversize` column/metric), mirroring how production
+        # crawlers abort a too-large transfer rather than truncate
+        # (truncated html would extract WRONG text silently).  A real
+        # transport should enforce this mid-stream via Content-Length
+        # + a read cap, not after buffering.
+        self.max_body_bytes = max_body_bytes
         self.gates = gate_handles or []
         self.pool_size = pool_size if gate_handles else 0
         self.politeness_scale = politeness_scale
@@ -97,6 +107,8 @@ class LiveFetcher:
         A non-empty ``etag`` plays If-None-Match: the fake entity tag
         is content-derived, so a matching validator returns 304."""
         d = hashlib.sha1(url.encode()).digest()
+        if "/bigbody" in url:  # deterministic oversize-response case
+            return b"<html>" + b"x" * (64 << 20), 200, "", ""
         if "/rloop" in url:
             return b"", 301, url, ""
         if d[0] % 32 == 1:
@@ -173,6 +185,7 @@ class LiveFetcher:
         redirects = np.zeros(n, dtype=np.int32)
         redirect_to: list[str] = [""] * n
         not_modified = np.zeros(n, dtype=np.int8)
+        oversize = np.zeros(n, dtype=np.int8)
         etags_out: list[str] = [""] * n
         prev_domain = None
         for i in order:
@@ -202,6 +215,9 @@ class LiveFetcher:
                 cur = target
                 # the validator belonged to the ORIGINAL url's entity
                 body, status, loc, et = self._fetch_one(cur)
+            if status == 200 and len(body) > self.max_body_bytes:
+                oversize[i] = 1
+                body, status = b"", 0  # abort, keep nothing
             bodies[i] = body
             etags_out[i] = et
             if status == 200:
@@ -224,4 +240,5 @@ class LiveFetcher:
             "redirect_to", pa.array(redirect_to, pa.string())
         )
         out = out.append_column("not_modified", pa.array(not_modified))
+        out = out.append_column("oversize", pa.array(oversize))
         return out.append_column("etag", pa.array(etags_out, pa.string()))

@@ -265,3 +265,14 @@ def test_sitemap_seeded_crawl_round0(ray_session, micro_fixture, tmp_path):
             glob.glob(f"{ckpt}/round=0000/frontier/*.parquet"))
     ])
     assert sorted(frontier0.column("url").to_pylist()) == sorted(picked)
+
+
+def test_oversize_body_aborted():
+    """A response larger than max_body_bytes counts as a miss with
+    NOTHING kept (truncated html would extract wrong text silently)."""
+    out = _fetch_batch(["http://d.example/bigbody"])
+    assert out.column("found")[0].as_py() == 0
+    assert out.column("oversize")[0].as_py() == 1
+    assert out.column("html")[0].as_py() == b""
+    small = _fetch_batch(["http://d.example/p2"])
+    assert small.column("oversize")[0].as_py() == 0

@@ -25,7 +25,7 @@ def test_fake_fetch_deterministic_and_schema():
     assert out1.equals(out2)  # deterministic
     assert out1.schema.names == ["url", "html", "lang", "found", "n_bytes",
                                  "timeout", "redirects", "redirect_to",
-                                 "not_modified", "etag"]
+                                 "not_modified", "oversize", "etag"]
     found = out1.column("found").to_pylist()
     assert 0 < sum(found) < len(urls)  # both hit and 404 paths exercised
     for h, fl, nb in zip(out1.column("html").to_pylist(), found,
