@@ -176,8 +176,14 @@ def sitemap_seed_table(ds, *, max_depth: int = 0) -> pa.Table:
     stream through it), so the driver-side collect is by contract.
     ``max_depth = 0`` seeds exactly the listed pages; > 0 lets the
     crawl expand around them."""
+    def _urls_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("kind"), "url"))
+
     tbl = pa.Table.from_pylist(
-        ds.filter(lambda r: r["kind"] == "url").take_all(), schema=_SCHEMA
+        ds.map_batches(_urls_only, batch_format="pyarrow").take_all(),
+        schema=_SCHEMA,
     )
     if len(tbl) == 0:
         return pa.table(
