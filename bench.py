@@ -210,6 +210,7 @@ class _session:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+        DataContext.get_current().DEFAULT_ENABLE_PROGRESS_BAR_NAME_TRUNCATION = False
         return self
 
     def __exit__(self, *a):

@@ -239,6 +239,9 @@ class CrawlDriver:
 
         ctx = ray.data.DataContext.get_current()
         ctx.enable_progress_bars = False
+        # long fused operator names otherwise emit a truncation
+        # WARNING once per run; keeping full names is the quiet option
+        ctx.DEFAULT_ENABLE_PROGRESS_BAR_NAME_TRUNCATION = False
         # note: ShuffleStrategy.HASH_SHUFFLE was evaluated as a replacement
         # for the sort-based groupby shuffle (whose sample+map+reduce
         # barrier costs ~0.5s per execution at control-plane row counts)

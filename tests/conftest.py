@@ -26,6 +26,7 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.DEFAULT_ENABLE_PROGRESS_BAR_NAME_TRUNCATION = False
     yield
     ray.shutdown()
 
