@@ -210,7 +210,7 @@ class _session:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
-        DataContext.get_current().DEFAULT_ENABLE_PROGRESS_BAR_NAME_TRUNCATION = False
+        DataContext.get_current().enable_progress_bar_name_truncation = False
         return self
 
     def __exit__(self, *a):

@@ -241,7 +241,7 @@ class CrawlDriver:
         ctx.enable_progress_bars = False
         # long fused operator names otherwise emit a truncation
         # WARNING once per run; keeping full names is the quiet option
-        ctx.DEFAULT_ENABLE_PROGRESS_BAR_NAME_TRUNCATION = False
+        ctx.enable_progress_bar_name_truncation = False
         # note: ShuffleStrategy.HASH_SHUFFLE was evaluated as a replacement
         # for the sort-based groupby shuffle (whose sample+map+reduce
         # barrier costs ~0.5s per execution at control-plane row counts)

@@ -26,7 +26,7 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    ctx.DEFAULT_ENABLE_PROGRESS_BAR_NAME_TRUNCATION = False
+    ctx.enable_progress_bar_name_truncation = False
     yield
     ray.shutdown()
 
