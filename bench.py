@@ -43,6 +43,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# follow Ray Data's own sizing advisory (>= 50% of memory for the
+# object store); also silences the once-per-init resource warning.
+# setdefault: an explicit operator override always wins.
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
 BENCH_SCALE = os.environ.get("SPIDER_BENCH_SCALE", "benchfat")

@@ -42,6 +42,9 @@ def main() -> None:
                          "(0 = exactly the listed pages)")
     args = ap.parse_args()
 
+    # Ray Data's own sizing advisory (>= 50% of memory for the object
+    # store); setdefault so an operator override wins
+    os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
     import ray
 
     if not ray.is_initialized():
