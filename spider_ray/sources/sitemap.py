@@ -37,6 +37,7 @@ from __future__ import annotations
 import gzip
 import re
 from datetime import datetime, timezone
+from xml.sax.saxutils import escape as _xml_escape
 from xml.etree import ElementTree
 
 import pyarrow as pa
@@ -120,6 +121,14 @@ def parse_sitemap_bytes(buf: bytes) -> pa.Table:
     optionally gzipped) -> rows of the unified schema."""
     if buf[:2] == b"\x1f\x8b":
         buf = gzip.decompress(buf)
+    # BOMs (common in real-world sitemap exports) would otherwise route
+    # an XML document to the plain-text path: UTF-16 re-encodes to
+    # UTF-8, a UTF-8 BOM is stripped (ElementTree handles BOM'd bytes,
+    # but the b"<" dispatch below must see the "<").
+    if buf[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        buf = buf.decode("utf-16").encode("utf-8")
+    if buf[:3] == b"\xef\xbb\xbf":
+        buf = buf[3:]
     stripped = buf.lstrip()
     rows: list[dict] = []
     if stripped[:1] == b"<":
@@ -226,9 +235,23 @@ def sitemap_bytes(table: pa.Table, *, index: bool = False,
              f'xmlns="{ns}">']
     for row in table.to_pylist():
         parts.append(f"<{entry_tag}>")
-        parts.append(f"<loc>{row['url']}</loc>")
+        parts.append(f"<loc>{_xml_escape(row['url'])}</loc>")
         ts = row.get("lastmod_ts")
-        if ts and hasattr(ts, "strftime"):
+        # lastmod_ts == 0 is the absent-lastmod sentinel (module
+        # contract: absence is information) — a 1970-01-01 datetime is
+        # truthy, so compare against the epoch, not bool(ts).
+        # (naive .timestamp() is TZ-dependent; compare fields instead)
+        _is_epoch = (
+            ts is not None
+            and getattr(ts, "year", 0) == 1970
+            and getattr(ts, "month", 0) == 1
+            and getattr(ts, "day", 0) == 1
+            and getattr(ts, "hour", 1) == 0
+            and getattr(ts, "minute", 1) == 0
+            and getattr(ts, "second", 1) == 0
+            and getattr(ts, "microsecond", 1) == 0
+        )
+        if ts and hasattr(ts, "strftime") and not _is_epoch:
             parts.append(
                 f"<lastmod>{ts.strftime('%Y-%m-%dT%H:%M:%S+00:00')}"
                 f"</lastmod>"
@@ -236,7 +259,8 @@ def sitemap_bytes(table: pa.Table, *, index: bool = False,
         if not index:
             if row.get("changefreq"):
                 parts.append(
-                    f"<changefreq>{row['changefreq']}</changefreq>"
+                    f"<changefreq>{_xml_escape(row['changefreq'])}"
+                    f"</changefreq>"
                 )
             pr = row.get("priority", -1)
             if pr is not None and pr >= 0:

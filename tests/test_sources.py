@@ -253,3 +253,70 @@ def test_sitemap_entity_bomb_safe():
     assert time.perf_counter() - t0 < 5.0
     assert t.num_rows == 1
     assert len(t.column("url")[0].as_py()) < 100  # never expanded
+
+
+def test_sitemap_bytes_escapes_ampersand_urls():
+    """ADVICE r04: URLs with query strings ('&') must produce
+    well-formed XML — strict ElementTree parse must accept the output
+    and the values must round-trip."""
+    from xml.etree import ElementTree
+
+    from spider_ray.sources import parse_sitemap_bytes, sitemap_bytes
+
+    t = pa.table(
+        {
+            "kind": pa.array(["url"]),
+            "url": pa.array(["https://a.example/s?q=1&r=<2>&s=\"x\""]),
+            "lastmod_ts": pa.array([0], pa.timestamp("us")),
+            "changefreq": pa.array(["a&b"]),
+            "priority": pa.array([-1], pa.int32()),
+        }
+    )
+    buf = sitemap_bytes(t)
+    ElementTree.fromstring(buf)  # must not raise (well-formed)
+    got = parse_sitemap_bytes(buf)
+    assert got.column("url").to_pylist() == t.column("url").to_pylist()
+    assert got.column("changefreq").to_pylist() == ["a&b"]
+
+
+def test_sitemap_bom_routes_to_xml_path():
+    """ADVICE r04: a BOM'd XML sitemap must parse as XML, not fall
+    through to the plain-text path."""
+    from spider_ray.sources import parse_sitemap_bytes
+
+    xml = (
+        b'<?xml version="1.0"?><urlset '
+        b'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://bom.example/a</loc></url></urlset>"
+    )
+    for buf in (
+        b"\xef\xbb\xbf" + xml,                      # UTF-8 BOM
+        xml.decode().encode("utf-16"),               # UTF-16 LE w/ BOM
+        ("﻿" + xml.decode()).encode("utf-16-be"),  # UTF-16 BE
+    ):
+        got = parse_sitemap_bytes(buf)
+        assert got.column("url").to_pylist() == ["https://bom.example/a"]
+        assert got.column("kind").to_pylist() == ["url"]
+
+
+def test_sitemap_bytes_skips_epoch_lastmod():
+    """ADVICE r04: the absent-lastmod sentinel (epoch 0) must not emit
+    a <lastmod>1970-01-01...</lastmod> element."""
+    from spider_ray.sources import parse_sitemap_bytes, sitemap_bytes
+
+    t = pa.table(
+        {
+            "kind": pa.array(["url", "url"]),
+            "url": pa.array(["https://a.example/x", "https://a.example/y"]),
+            "lastmod_ts": pa.array(
+                [0, 1_714_564_800_000_000], pa.timestamp("us")
+            ),
+            "changefreq": pa.array(["", ""]),
+            "priority": pa.array([-1, -1], pa.int32()),
+        }
+    )
+    buf = sitemap_bytes(t)
+    assert b"1970-01-01" not in buf
+    assert buf.count(b"<lastmod>") == 1
+    got = parse_sitemap_bytes(buf)
+    assert got.column("lastmod_ts").to_pylist()[0].timestamp() == 0
