@@ -479,6 +479,61 @@ class CrawlDriver:
     def seen_stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])
 
+    # -- selection phase B -------------------------------------------------
+    def _select_phase_b(self, ranked, cfg_ref):
+        """Execution 4 — per-domain merge of local winners into the
+        (part_key, k_take) decision, then flag ``sel`` on every ranked
+        row.  Two physical forms, byte-identical results:
+
+        * small rounds (winners <= phase_b_driver_threshold): merge on
+          the driver, broadcast a BOUNDED dict (size <= threshold by
+          construction), finalize via the vectorized lookup — one cheap
+          execution, no shuffle.
+        * big rounds: ktake stays a Dataset end-to-end — per-domain
+          groupby merge, then a co-partitioned (part_key) join back
+          onto ``ranked`` (ops.partitioned_hash_join: one union shuffle,
+          per-block Arrow join) and a pure-Arrow finalize.  The driver
+          never holds a domain-cardinality object (VERDICT r04 item 1:
+          at 10^7-10^8 domains the old broadcast dict was a multi-GB
+          driver object rebuilt every round).
+
+        Returns (flagged_ds, selected_count)."""
+        narrow = _filter_eq(ranked, "lsel", True).map_batches(
+            lambda t: t.select(["domain", "part_key", "depth", "seq", "url"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if narrow.count() <= self.phase_b_driver_threshold:
+            ndf = narrow.to_pandas()
+            ktake: dict[str, int] = {}
+            for _, g in ndf.groupby("domain", sort=False):
+                kt = stages.merge_select_group(g, cfg_ref=cfg_ref)
+                for pk, kv in zip(kt["part_key"], kt["k_take"]):
+                    ktake[pk] = int(kv)
+            flagged = ranked.map_batches(
+                partial(stages.finalize_sel, ktake_ref=ray.put(ktake)),
+                batch_format="pyarrow",
+            )
+            return flagged, sum(ktake.values())
+        from spider_ray import ops as _ops
+
+        ktake_ds = (
+            # boundary-quality form: sort on domain (equal keys never
+            # split) + one vectorized per-block merge, instead of a
+            # Python map_groups call per domain
+            narrow.sort("domain")
+            .map_batches(
+                partial(stages.merge_select_block, cfg_ref=cfg_ref),
+                batch_format="pandas", batch_size=None,
+            )
+            .map_batches(_strip_md, batch_format="pyarrow")
+            .materialize()
+        )
+        selected = int(ktake_ds.sum("k_take") or 0)
+        flagged = _ops.partitioned_hash_join(
+            ranked, ktake_ds, on="part_key", how="left"
+        ).map_batches(stages.finalize_sel_joined, batch_format="pyarrow")
+        return flagged, selected
+
     # -- one round -------------------------------------------------------
     def run_round(self, k: int) -> bool:
         t0 = time.monotonic()
@@ -558,7 +613,7 @@ class CrawlDriver:
         tt = _mark("e2 status-hist", tt)
 
         sel_full = None
-        ktake: dict[str, int] = {}
+        sel_count = 0
         if eligible_count:
             eligible = _filter_eq(cands, "status", 0, drop=["status"])
             # execution 3 — selection phase A: fixed S-way slice ranking
@@ -576,42 +631,12 @@ class CrawlDriver:
                 .materialize()
             )
             tt = _mark("e3 select-A", tt)
-            # execution 4 — selection phase B: per-domain merge of local
-            # winners -> slice->count dict (tiny), broadcast back.  Local
-            # winners are budget-bounded (<= S*B per domain); below the
-            # threshold the merge runs on the driver (one cheap execution,
-            # no shuffle), above it the distributed per-domain groupby
-            # takes over — same deterministic result either way.
-            narrow = _filter_eq(ranked, "lsel", True).map_batches(
-                lambda t: t.select(["domain", "part_key", "depth", "seq", "url"]),
-                batch_format="pyarrow",
-            ).materialize()
-            if narrow.count() <= self.phase_b_driver_threshold:
-                ndf = narrow.to_pandas()
-                ktake = {}
-                for _, g in ndf.groupby("domain", sort=False):
-                    kt = stages.merge_select_group(g, cfg_ref=cfg_ref)
-                    for pk, kv in zip(kt["part_key"], kt["k_take"]):
-                        ktake[pk] = int(kv)
-            else:
-                ktake_rows = (
-                    narrow.groupby("domain")
-                    .map_groups(
-                        partial(stages.merge_select_group, cfg_ref=cfg_ref),
-                        batch_format="pandas",
-                    )
-                    .take_all()
-                )
-                ktake = {r["part_key"]: int(r["k_take"]) for r in ktake_rows}
+            flagged, sel_count = self._select_phase_b(ranked, cfg_ref)
             # execution 5 — finalize sel flag + stage seen-set inserts
             # (fused); the commit BARRIER (seq-sorted apply, §4.5) fires
             # right after this materialization
             sel_full = (
-                ranked.map_batches(
-                    partial(stages.finalize_sel, ktake_ref=ray.put(ktake)),
-                    batch_format="pyarrow",
-                )
-                .map_batches(
+                flagged.map_batches(
                     partial(
                         stages.stage_selected_batch,
                         shard_handles=self.shards,
@@ -623,7 +648,7 @@ class CrawlDriver:
             )
             ray.get([s.commit_pending.remote() for s in self.shards])
             tt = _mark("e4-5 select-B+finalize", tt)
-        m["selected"] = sum(ktake.values())
+        m["selected"] = sel_count
         m["budget_deferred"] = eligible_count - m["selected"]
 
         children_new = None

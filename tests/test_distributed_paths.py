@@ -74,3 +74,100 @@ def test_gate_load_state_clears_crash_staged_counts(ray_session, micro_fixture):
         }
     finally:
         ray.kill(gate)
+
+
+def test_phase_b_many_domains_never_materializes_on_driver(
+    ray_session, micro_fixture
+):
+    """VERDICT r04 item 1: with >= 1e5 distinct domains, the distributed
+    phase-B path must (a) produce exactly the driver path's selection
+    and (b) never pull a data-sized object onto the driver — proven by
+    a spy that FAILS any take_all()/to_pandas() issued while the
+    distributed branch runs (count/sum/materialize are the only
+    collection primitives it may use)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from spider_ray.core.config import load_crawl_config
+    from spider_ray.crawl.driver import CrawlDriver
+
+    n_dom = 100_000
+    rng = np.random.default_rng(7)
+    # one row per domain plus a hot domain spread over 4 slices
+    doms = [f"d{i}.example" for i in range(n_dom)] + ["hot.example"] * 400
+    slices = np.concatenate(
+        [np.zeros(n_dom, np.int64), rng.integers(0, 4, 400)]
+    )
+    n = len(doms)
+    ranks = np.concatenate(
+        [np.zeros(n_dom, np.int64),
+         np.concatenate([np.arange((slices[n_dom:] == s).sum())
+                         for s in range(4)])]
+    )
+    # hot rows must be grouped by slice for the per-slice rank to make
+    # sense; order rows so ranks line up with their slice
+    hot_order = np.argsort(slices[n_dom:], kind="stable")
+    hot_doms = ["hot.example"] * 400
+    tbl = pa.table(
+        {
+            "domain": pa.array(doms[:n_dom] + hot_doms),
+            "part_key": pa.array(
+                [f"{d}#0" for d in doms[:n_dom]]
+                + [f"hot.example#{int(s)}" for s in slices[n_dom:][hot_order]]
+            ),
+            "depth": pa.array([1] * n, pa.int32()),
+            "seq": pa.array(np.arange(n, dtype=np.int64)),
+            "url": pa.array([f"https://x.example/{i}" for i in range(n)]),
+            "rank": pa.array(
+                np.concatenate([ranks[:n_dom], ranks[n_dom:]]), pa.int64()
+            ),
+            "lsel": pa.array([True] * n),
+        }
+    )
+    cfg = load_crawl_config(micro_fixture)
+    cfg_ref = ray.put(cfg)
+
+    class _Stub:
+        pass
+
+    stub = _Stub()
+    ranked = ray.data.from_arrow(tbl).repartition(16).materialize()
+
+    # reference result: bounded-driver path
+    stub.phase_b_driver_threshold = 10**9
+    flagged_drv, count_drv = CrawlDriver._select_phase_b(
+        stub, ranked, cfg_ref
+    )
+    got_drv = {
+        r["url"]: r["sel"]
+        for r in flagged_drv.take_all()
+    }
+
+    # distributed path under the spy
+    stub.phase_b_driver_threshold = 0
+    from ray.data import Dataset
+
+    real_take_all, real_to_pandas = Dataset.take_all, Dataset.to_pandas
+
+    def _boom(self, *a, **k):
+        raise AssertionError(
+            "driver-side materialization inside distributed phase B"
+        )
+
+    Dataset.take_all = _boom
+    Dataset.to_pandas = _boom
+    try:
+        flagged_dist, count_dist = CrawlDriver._select_phase_b(
+            stub, ranked, cfg_ref
+        )
+        flagged_dist = flagged_dist.materialize()
+    finally:
+        Dataset.take_all, Dataset.to_pandas = real_take_all, real_to_pandas
+
+    assert count_dist == count_drv
+    got_dist = {r["url"]: r["sel"] for r in flagged_dist.take_all()}
+    assert got_dist == got_drv
+    # sanity: the hot domain's budget really truncated something
+    assert count_drv < n
