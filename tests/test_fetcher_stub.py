@@ -12,9 +12,17 @@ def _batch(urls):
     return pa.table({"url": pa.array(urls, pa.string())})
 
 
-def test_real_mode_refuses_without_network():
-    with pytest.raises(NotImplementedError):
-        LiveFetcher(fake=False)
+def test_real_mode_builds_pool_and_misses_cleanly_offline():
+    """fake=False is the REAL urllib3 transport (r05): construction
+    builds the pool up front, and an unresolvable host is a clean
+    connection-level fetch miss (found=0, no timeout flag, no body,
+    no exception) — a crawl must survive dead hosts."""
+    f = LiveFetcher(fake=False, timeout_s=0.5)
+    assert f._session is not None
+    out = f(_batch(["http://no-such-host.invalid/x"]))
+    assert out.column("found")[0].as_py() == 0
+    assert out.column("html")[0].as_py() == b""
+    assert out.column("redirect_to")[0].as_py() == ""
 
 
 def test_fake_fetch_deterministic_and_schema():
