@@ -189,15 +189,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # r03's apparent 50, or a wall-time budget) still covers every
     # family — with straight family-ordered registration a 50-cap
     # would have dropped the entire dedup/ANN/text block from the
-    # driver-visible record.
+    # driver-visible record.  On top of that, the non-crawl order is
+    # ROTATED by a deterministic per-round offset (VERDICT r04 item 3):
+    # the gate sees only a ~50-entry window, so successive rounds sweep
+    # different windows until every entry has been driver-gated.
     out: dict[str, Callable[[str], Any]] = {}
     out["crawl_flagship"] = _crawl_flagship
     out["crawl_revisit"] = _crawl_revisit
-    for name in _gate_order(
+    names = _gate_order(
         QUERIES, WINDOW_QUERIES, SKETCH_QUERIES, TEXT_QUERIES,
         DEDUP_QUERIES, GRAPH_QUERIES, FREQ_QUERIES, ANN_QUERIES,
         MULTIMODAL_QUERIES,
-    ):
+    )
+    k = _gate_rotation(len(names))
+    for name in names[k:] + names[:k]:
         for fam in (QUERIES, WINDOW_QUERIES, SKETCH_QUERIES, TEXT_QUERIES,
                     DEDUP_QUERIES, GRAPH_QUERIES, FREQ_QUERIES, ANN_QUERIES,
                     MULTIMODAL_QUERIES):
@@ -205,6 +210,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 out[name] = fam[name]
                 break
     return out
+
+
+# the driver gate records ~50 entries; 2 are the pinned crawl heads
+_GATE_WINDOW = 48
+
+
+def _gate_rotation(n: int, window: int = _GATE_WINDOW) -> int:
+    """Deterministic sweep offset, keyed on the ROUND about to be
+    recorded (max existing CORRECTNESS_r*.json + 1 — a pure function of
+    the committed repo state, so registration order is reproducible
+    within a round).  Round r exposes window ((r-1) mod ceil(n/window));
+    after ceil(n/window) rounds the gate has recorded every entry."""
+    if n <= 0:
+        return 0
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"_r(\d+)\.json$", p))
+    ]
+    nxt = (max(rounds) + 1) if rounds else 1
+    windows = max(1, -(-n // window))
+    return (window * ((nxt - 1) % windows)) % n
 
 
 # Gate-priority heads: each family's most representative / judge-graded

@@ -110,3 +110,40 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(ds)
     assert len(df) > 0
     assert set(df.columns) == {"url", "text", "lang", "round", "seq"}
+
+
+def test_gate_rotation_sweeps_registry():
+    """VERDICT r04 item 3: queries() registration rotates a different
+    ~50-entry window into the driver gate each round — crawl entries
+    always first, every entry present every round, and the union of
+    windows over ceil(n/48) rounds covers the whole registry."""
+    import __ray_entry__ as e
+
+    names = list(e.queries())
+    assert names[:2] == ["crawl_flagship", "crawl_revisit"]
+    assert len(names) == len(set(names))
+    non_crawl = [n for n in names if not n.startswith("crawl_")]
+    n = len(non_crawl)
+    windows = -(-n // e._GATE_WINDOW)
+    # the rotation formula sweeps: distinct offsets across consecutive
+    # rounds cover every index
+    covered = set()
+    for r in range(1, windows + 1):
+        k = (e._GATE_WINDOW * ((r - 1) % windows)) % n
+        covered.update((k + i) % n for i in range(e._GATE_WINDOW))
+    assert covered == set(range(n))
+    # this round's actual offset matches the formula for the round
+    # about to be recorded
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    nxt = (max(rounds) + 1) if rounds else 1
+    want_k = (e._GATE_WINDOW * ((nxt - 1) % windows)) % n
+    assert e._gate_rotation(n) == want_k
