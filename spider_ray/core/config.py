@@ -42,6 +42,10 @@ class CrawlConfig:
     # the broadcast config (module state set on the driver alone would
     # silently desync workers that import spider_ray by name).
     psl: bool = False
+    # T1 snapshot persistence backend (crawl/storage.py): "file" =
+    # npz-per-shard (default), "sqlite" = one DB per round dir — the
+    # reference's Storage-interface swap (§2.10)
+    state_backend: str = "file"
 
     _rules_cache: dict[str, RobotsRules] = field(
         default_factory=dict, compare=False, hash=False, repr=False
@@ -85,6 +89,8 @@ class CrawlConfig:
                 # only serialized when enabled: keeps config_hash of
                 # every pre-existing heuristic-mode checkpoint stable
                 **({"psl": True} if self.psl else {}),
+                **({"state_backend": self.state_backend}
+                   if self.state_backend != "file" else {}),
             },
             sort_keys=True,
         )
@@ -103,6 +109,7 @@ class CrawlConfig:
             seen_capacity_per_shard=d["seen_capacity_per_shard"],
             salt_target=d["salt_target"],
             psl=d.get("psl", False),
+            state_backend=d.get("state_backend", "file"),
         )
 
     def config_hash(self) -> str:

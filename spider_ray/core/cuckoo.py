@@ -160,10 +160,33 @@ class CuckooFilter:
     @classmethod
     def load(cls, path: str) -> "CuckooFilter":
         with np.load(path) as z:
-            f = cls.__new__(cls)
-            f.table = z["table"].copy()
-            f.n_buckets = f.table.shape[0]
-            f.count = int(z["count"])
-            f.stash = {(int(a), int(b)) for a, b in z["stash"]}
-            f._alt_cache = {}
-            return f
+            return cls._from_npz(z)
+
+    @classmethod
+    def _from_npz(cls, z) -> "CuckooFilter":
+        f = cls.__new__(cls)
+        f.table = z["table"].copy()
+        f.n_buckets = f.table.shape[0]
+        f.count = int(z["count"])
+        f.stash = {(int(a), int(b)) for a, b in z["stash"]}
+        f._alt_cache = {}
+        return f
+
+    def to_bytes(self) -> bytes:
+        """Snapshot as one blob (same npz payload as save()) — the unit
+        a KV/SQL StateStore backend persists per shard."""
+        import io
+
+        buf = io.BytesIO()
+        stash = np.array(sorted(self.stash), dtype=np.uint64).reshape(-1, 2)
+        np.savez_compressed(
+            buf, table=self.table, count=np.int64(self.count), stash=stash
+        )
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooFilter":
+        import io
+
+        with np.load(io.BytesIO(blob)) as z:
+            return cls._from_npz(z)

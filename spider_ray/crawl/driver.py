@@ -264,7 +264,8 @@ class CrawlDriver:
         self.actor_namespace = actor_namespace
         if actor_namespace is None:
             self.shards = [
-                CuckooShard.remote(i, self.cfg.seen_capacity_per_shard, exact_seen)
+                CuckooShard.remote(i, self.cfg.seen_capacity_per_shard,
+                                   exact_seen, self.cfg.state_backend)
                 for i in range(self.cfg.num_shards)
             ]
             self.gates = [
@@ -282,7 +283,8 @@ class CrawlDriver:
 
             self.shards = [
                 _named(CuckooShard, f"seen:{i}", i,
-                       self.cfg.seen_capacity_per_shard, exact_seen)
+                       self.cfg.seen_capacity_per_shard, exact_seen,
+                       self.cfg.state_backend)
                 for i in range(self.cfg.num_shards)
             ]
             self.gates = [

@@ -36,13 +36,19 @@ class CuckooShard:
     check, SURVEY.md §1.1) — a deterministic cuckoo filter plus, in test
     mode, an exact set sidecar asserting zero false-positive hits."""
 
-    def __init__(self, shard_id: int, capacity: int, exact_mode: bool = True):
+    def __init__(self, shard_id: int, capacity: int, exact_mode: bool = True,
+                 backend: str = "file"):
+        from spider_ray.crawl.storage import get_state_store
+
         self.shard_id = shard_id
         self.capacity = capacity
         self.filter = CuckooFilter(capacity)
         self.exact: set[int] | None = set() if exact_mode else None
         self.pending: dict[int, tuple[int, int]] = {}  # h64 -> (seq, fp)
         self.false_hits = 0
+        # pluggable snapshot target (the reference's Storage-interface
+        # swap, §2.10): "file" npz layout or "sqlite" external-DB shape
+        self.store = get_state_store(backend)
 
     def reset(self) -> None:
         """Back to the empty post-__init__ state.  A fresh crawl that
@@ -91,21 +97,16 @@ class CuckooShard:
         }
 
     def snapshot(self, dirpath: str) -> str:
-        path = os.path.join(dirpath, f"shard-{self.shard_id:02d}.npz")
-        self.filter.save(path)
-        if self.exact is not None:
-            np.save(
-                os.path.join(dirpath, f"shard-{self.shard_id:02d}.exact.npy"),
-                np.array(sorted(self.exact), dtype=np.uint64),
-            )
-        return path
+        return self.store.save_shard(
+            dirpath, self.shard_id, self.filter, self.exact
+        )
 
     def load(self, dirpath: str) -> int:
-        path = os.path.join(dirpath, f"shard-{self.shard_id:02d}.npz")
-        self.filter = CuckooFilter.load(path)
-        exact_path = os.path.join(dirpath, f"shard-{self.shard_id:02d}.exact.npy")
-        if self.exact is not None and os.path.exists(exact_path):
-            self.exact = set(np.load(exact_path).tolist())
+        self.filter, exact = self.store.load_shard(
+            dirpath, self.shard_id, want_exact=self.exact is not None
+        )
+        if exact is not None:
+            self.exact = exact
         self.pending.clear()
         return self.filter.count
 
