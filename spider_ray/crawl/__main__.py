@@ -28,6 +28,12 @@ def main() -> None:
                     help="run N re-visit passes (change detection against "
                          "pages_v2.parquet) after the crawl completes")
     ap.add_argument("--revisit-interval", type=int, default=1)
+    ap.add_argument("--schedule", default=None, metavar="STEPS",
+                    help="continuous daemon mode: comma-separated "
+                         "crawl/revisit steps (e.g. "
+                         "crawl,crawl,revisit,crawl), one checkpointed "
+                         "round per step, resumable mid-schedule; "
+                         "replaces --rounds/--revisit")
     ap.add_argument("--psl", action="store_true",
                     help="full Public-Suffix-List registrable domains "
                          "(deployment mode; default is the pinned "
@@ -93,10 +99,21 @@ def main() -> None:
             args.fixture, args.ckpt, cfg, exact_seen=not args.no_exact_seen,
             seed_urls=seed_urls,
         )
-        metrics = drv.run(max_rounds=args.rounds)
-        for _ in range(args.revisit):
-            rm = drv.run_revisit(interval=args.revisit_interval)
-            print(json.dumps({"revisit": rm}, indent=1, sort_keys=True))
+        if args.schedule:
+            steps = [s.strip() for s in args.schedule.split(",") if s.strip()]
+            results = drv.run_continuous(
+                steps, interval=args.revisit_interval
+            )
+            metrics = drv.metrics
+            for step, r in zip(steps[len(steps) - len(results):], results):
+                if step == "revisit":
+                    print(json.dumps({"revisit": r}, indent=1,
+                                     sort_keys=True))
+        else:
+            metrics = drv.run(max_rounds=args.rounds)
+            for _ in range(args.revisit):
+                rm = drv.run_revisit(interval=args.revisit_interval)
+                print(json.dumps({"revisit": rm}, indent=1, sort_keys=True))
         total = {
             k: sum(m[k] for m in metrics)
             for k in (metrics[0] if metrics else {})

@@ -949,6 +949,42 @@ class CrawlDriver:
             k += 1
         return self.metrics
 
+    # -- continuous daemon mode (reference lifecycle §3.1: long-running
+    # loop interleaving fresh crawling with scheduled re-visits) --------
+    def run_continuous(self, schedule: list[str],
+                       pages_file: str = "pages_v2.parquet",
+                       interval: int = 1) -> list[dict]:
+        """Execute a schedule of "crawl" / "revisit" steps, one
+        checkpointed round per step (step i == round i).  Virtual time
+        throughout (A.9): staleness cutoffs and budgets are in round
+        units, never wall clock, so the schedule is the daemon's clock
+        and the whole run is deterministic.
+
+        Checkpoint-resumable MID-SCHEDULE: steps whose round is already
+        in the checkpoint are skipped, so a restarted driver handed the
+        same schedule continues where the dead one stopped (the
+        re-visit round carries the frontier forward, so crawl steps
+        after it keep consuming deferred work).  A crawl step on an
+        exhausted frontier writes an empty round — round numbering
+        stays aligned with the schedule.  Oracle twin:
+        OracleCrawl.run_continuous (byte-identical outputs,
+        tests/test_crawl_continuous.py)."""
+        if not self._prepared:
+            self.prepare()
+        out: list[dict] = []
+        for i, step in enumerate(schedule, start=1):
+            done = self.latest_round() or 0
+            if i <= done:
+                continue  # resumed mid-schedule; round i already on disk
+            if step == "crawl":
+                self.run_round(i)
+                out.append(self.metrics[-1])
+            elif step == "revisit":
+                out.append(self.run_revisit(pages_file, interval=interval))
+            else:
+                raise ValueError(f"unknown schedule step {step!r}")
+        return out
+
     # -- re-visit / change detection (reference lifecycle §3.1 step 3) ----
     def run_revisit(self, pages_file: str = "pages_v2.parquet",
                     interval: int = 1) -> dict:
@@ -1091,7 +1127,22 @@ class CrawlDriver:
             _write_ds(None, os.path.join(tmp, "out"), EXTRACTED, 0)
             _write_ds(None, os.path.join(tmp, "pagestate"), PAGESTATE, 0)
         _write_ds(None, os.path.join(tmp, "order"), CRAWL_ORDER, 0)
-        _write_ds(None, os.path.join(tmp, "frontier"), FRONTIER, 0)
+        # a re-visit pass consumes NO frontier rows (the oracle's
+        # frontier is untouched by run_revisit): carry the previous
+        # round's frontier forward so a later crawl round — daemon
+        # mode's interleave, or a plain resume — continues the deferred
+        # work instead of reading an empty frontier and stopping.
+        prev_frontier = os.path.join(_round_dir(self.ckpt_dir, last), "frontier")
+        shutil.copytree(prev_frontier, os.path.join(tmp, "frontier"))
+        try:
+            with open(os.path.join(_round_dir(self.ckpt_dir, last),
+                                   "manifest.json")) as pf:
+                pman = json.load(pf)
+            carried = pman.get("metrics", {}).get("enqueued")
+            if carried is None:
+                carried = pman.get("frontier_rows", 0)
+        except (OSError, json.JSONDecodeError):
+            carried = 0
 
         self._snapshot_state(tmp, k)
         m["wall_s"] = round(time.monotonic() - t0, 3)
@@ -1102,7 +1153,7 @@ class CrawlDriver:
                     "round": k,
                     "revisit": True,
                     "config_hash": self.cfg.config_hash(),
-                    "metrics": {**m, "enqueued": 0},
+                    "metrics": {**m, "enqueued": int(carried)},
                     "lineage": {
                         "input": ps_dirs,
                         "outputs": sorted(os.listdir(tmp)),

@@ -263,6 +263,24 @@ class OracleCrawl:
             if not more:
                 break
 
+    def run_continuous(self, schedule: list[str],
+                       pages_file: str = "pages_v2.parquet",
+                       interval: int = 1) -> list[dict]:
+        """Daemon-mode twin of CrawlDriver.run_continuous: the schedule
+        is the virtual clock — step i is round i, "crawl" consumes the
+        frontier (possibly empty -> a zero round), "revisit" re-fetches
+        stale pages and leaves the frontier untouched."""
+        out: list[dict] = []
+        for i, step in enumerate(schedule, start=1):
+            if step == "crawl":
+                self.run_round(i)
+                out.append(self.metrics[-1])
+            elif step == "revisit":
+                out.append(self.run_revisit(pages_file, interval=interval))
+            else:
+                raise ValueError(f"unknown schedule step {step!r}")
+        return out
+
     # -- re-visit / change detection (reference lifecycle §3.1 step 3) --
     def run_revisit(self, pages_file: str = "pages_v2.parquet",
                     interval: int = 1) -> dict:
