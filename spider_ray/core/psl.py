@@ -297,6 +297,13 @@ fastly-edge.com
 """
 
 
+VENDORED_DAT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data",
+    "public_suffix_list.dat",
+)
+_VENDORED = None  # process-wide parse cache for the vendored list
+
+
 class PublicSuffixList:
     """Compiled PSL rule set with the standard matching algorithm."""
 
@@ -324,6 +331,33 @@ class PublicSuffixList:
     @classmethod
     def snapshot(cls) -> "PublicSuffixList":
         return cls(PSL_SNAPSHOT.splitlines())
+
+    @classmethod
+    def vendored(cls) -> "PublicSuffixList":
+        """The vendored verbatim ``public_suffix_list.dat`` (the
+        publicsuffix.org list, MPL-2.0 public data, shipped as package
+        data so every worker that can import spider_ray loads the SAME
+        rule set — no path-distribution problem on a cluster).  Parsed
+        once per process."""
+        global _VENDORED
+        if _VENDORED is None:
+            _VENDORED = cls.from_file(VENDORED_DAT_PATH)
+        return _VENDORED
+
+    @classmethod
+    def default(cls) -> "PublicSuffixList":
+        """PSL-mode default rule set: the vendored real list when the
+        package data file is present, else the curated snapshot (keeps
+        a data-stripped install functional, loudly)."""
+        if os.path.isfile(VENDORED_DAT_PATH):
+            return cls.vendored()
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "vendored public_suffix_list.dat missing (%s); PSL mode "
+            "falls back to the curated snapshot", VENDORED_DAT_PATH,
+        )
+        return cls.snapshot()
 
     def suffix_len(self, labels: tuple[str, ...]) -> int:
         """Number of labels in the public suffix of ``labels``.

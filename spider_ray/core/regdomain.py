@@ -42,17 +42,19 @@ _psl = None
 
 
 def use_psl(dat_path: str | None = None) -> None:
-    """Switch A.3 to the full PSL algorithm — the built-in snapshot, or
-    a verbatim ``public_suffix_list.dat`` when ``dat_path`` is given.
-    Idempotent for the snapshot case, so per-batch callers pay the
-    rule-set build exactly once per process."""
+    """Switch A.3 to the full PSL algorithm — the vendored verbatim
+    ``public_suffix_list.dat`` (real publicsuffix.org data shipped as
+    package data; falls back to the curated snapshot only when the
+    data file was stripped), or an explicit ``dat_path``.  Idempotent
+    for the default case, so per-batch callers pay the rule-set build
+    exactly once per process."""
     global _psl
     from spider_ray.core.psl import PublicSuffixList
 
     if dat_path is None:
-        if _psl is None or not getattr(_psl, "_is_snapshot", False):
-            _psl = PublicSuffixList.snapshot()
-            _psl._is_snapshot = True
+        if _psl is None or not getattr(_psl, "_is_default", False):
+            _psl = PublicSuffixList.default()
+            _psl._is_default = True
         return
     _psl = PublicSuffixList.from_file(dat_path)
 

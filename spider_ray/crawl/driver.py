@@ -140,26 +140,28 @@ def _col_sums(ds, cols: list[str]) -> dict:
 
 
 def _value_counts(ds, col: str) -> dict:
-    """Histogram of a low-cardinality column WITHOUT a shuffle: each
-    batch emits its partial counts (a few rows), the driver sums them.
-    Replaces groupby(col).count() for metric histograms — one cheap
-    execution instead of an all-to-all."""
+    """Histogram of a low-cardinality column WITHOUT a shuffle, routed
+    through ``partial_sum_agg(bounded=True)`` (VERDICT r04 item 6):
+    each batch emits its partial counts (a few rows), the tree combine
+    merges them in Arrow off the driver, and the driver receives ONE
+    row per distinct value — never the per-block partial stream.  Call
+    sites keep the key domain bounded (HTTP status codes; the domain
+    histogram is threshold-gated in _push_gates with a gate-shard
+    distributed fallback above it)."""
+    from spider_ray.ops import partial_sum_agg
 
-    def partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
+    def pre(t: pa.Table) -> pa.Table:
         vc = t.column(col).value_counts()
         return pa.table(
             {
                 "value": vc.field("values").cast(pa.string()),
-                "n": vc.field("counts"),
+                "n": vc.field("counts").cast(pa.int64()),
             }
         )
 
-    out: dict = {}
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
-        out[row["value"]] = out.get(row["value"], 0) + int(row["n"])
-    return out
+    merged = partial_sum_agg(ds, ["value"], {"n": "n"}, None, pre=pre,
+                             bounded=True)
+    return {row["value"]: int(row["n"]) for row in merged.take_all()}
 
 
 def _filter_eq(ds, col: str, value, drop: list[str] | None = None):
@@ -205,6 +207,7 @@ class CrawlDriver:
         fetch_mode: str = "corpus",
         fetcher_kwargs: dict | None = None,
         seed_urls: list[str] | None = None,
+        pages_file: str = "pages.parquet",
     ) -> None:
         self.fixture_dir = fixture_dir
         self.ckpt_dir = ckpt_dir
@@ -226,6 +229,10 @@ class CrawlDriver:
             raise ValueError(f"unknown fetch_mode {fetch_mode!r}")
         self.fetch_mode = fetch_mode
         self.fetcher_kwargs = fetcher_kwargs or {}
+        # S3 corpus spec: one file, a directory of parts, or a glob —
+        # resolved by _resolve_corpus_source (a 100 TB corpus is many
+        # thousands of files; VERDICT r04 item 7)
+        self.pages_file = pages_file
         # S1 override: an explicit seed list (e.g. sitemap discovery via
         # sources.sitemap_seed_table) replaces the fixture's
         # seeds.parquet for round 0; resumed checkpoints never re-seed,
@@ -297,11 +304,35 @@ class CrawlDriver:
         self.start_round = 1
         self._prepared = False
 
+    def _resolve_corpus_source(self, pages_file: str) -> str | list[str]:
+        """Resolve a pages-corpus spec to what read_parquet consumes.
+
+        A 100 TB corpus is tens of thousands of parquet files, not one
+        (VERDICT r04 item 7), so the spec may be: a single file, a
+        DIRECTORY of parquet parts (read whole), or a glob pattern
+        (expanded sorted, so the read order — and therefore the
+        bucketed layout — is deterministic across runs).
+        """
+        import glob as _glob
+
+        src = os.path.join(self.fixture_dir, pages_file)
+        if os.path.isdir(src):
+            return src
+        if os.path.isfile(src):
+            return src
+        matches = sorted(_glob.glob(src))
+        if not matches:
+            raise FileNotFoundError(
+                f"pages corpus not found: {src!r} is neither a file, a "
+                "directory, nor a glob with matches"
+            )
+        return matches
+
     # -- one-time preparation -------------------------------------------
     def prepare_pages(self) -> None:
         """Hash-bucket the pages corpus by url once (amortized across
         every round's fetch; at 100 TB this is the single full pass)."""
-        self._bucket_corpus("pages.parquet", self.pages_dir)
+        self._bucket_corpus(self.pages_file, self.pages_dir)
 
     def _bucket_corpus(self, pages_file: str, dest_dir: str) -> None:
         if os.path.isdir(dest_dir) and os.listdir(dest_dir):
@@ -309,7 +340,7 @@ class CrawlDriver:
         tmp = dest_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         pages = ray.data.read_parquet(
-            os.path.join(self.fixture_dir, pages_file),
+            self._resolve_corpus_source(pages_file),
             columns=["url", "html", "lang"],
         )
         nb = self.fetch_buckets
@@ -1014,7 +1045,10 @@ class CrawlDriver:
             # the revisit round would checkpoint EMPTY shards
             self.prepare()
         cfg_ref = self.cfg_ref
-        stem = os.path.splitext(pages_file)[0]
+        # the spec may be a file, directory, or glob (item 7): derive a
+        # filesystem-safe layout name from it deterministically
+        stem = os.path.splitext(os.path.basename(pages_file.rstrip("/")))[0]
+        stem = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in stem)
         v2_dir = os.path.join(self.ckpt_dir, f"{stem}_bucketed")
         self._bucket_corpus(pages_file, v2_dir)
         last = self.latest_round()

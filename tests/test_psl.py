@@ -5,9 +5,17 @@ from __future__ import annotations
 import pytest
 
 from spider_ray.core import regdomain
-from spider_ray.core.psl import PublicSuffixList
+from spider_ray.core.psl import VENDORED_DAT_PATH, PublicSuffixList
 
 PSL = PublicSuffixList.snapshot()
+
+
+@pytest.fixture(params=["snapshot", "vendored"])
+def ruleset(request):
+    """Every registrable-domain case must hold on BOTH the curated
+    snapshot and the real vendored publicsuffix.org list (VERDICT r04
+    item 8: unit tests run against the real list)."""
+    return PSL if request.param == "snapshot" else PublicSuffixList.vendored()
 
 
 @pytest.mark.parametrize(
@@ -45,8 +53,34 @@ PSL = PublicSuffixList.snapshot()
         ("192.168.0.1", "192.168.0.1"),
     ],
 )
-def test_psl_registrable(host, expected):
-    assert PSL.registrable_domain(host) == expected
+def test_psl_registrable(ruleset, host, expected):
+    assert ruleset.registrable_domain(host) == expected
+
+
+def test_vendored_list_is_the_real_one():
+    """The vendored .dat is the verbatim publicsuffix.org list: full
+    ICANN + private sections, thousands of rules, both wildcards and
+    exceptions present — and it is what PSL mode loads by default."""
+    import os
+
+    assert os.path.isfile(VENDORED_DAT_PATH)
+    p = PublicSuffixList.vendored()
+    assert len(p.exact) > 5000
+    assert len(p.wildcard) > 10
+    assert len(p.exception) > 2
+    # spot checks only the real list gets right (not in the snapshot):
+    # *.compute.amazonaws.com makes y.compute... the public suffix
+    assert (
+        p.registrable_domain("x.y.compute.amazonaws.com")
+        == "x.y.compute.amazonaws.com"
+    )
+    assert p.registrable_domain("a.b.s3.amazonaws.com") == "b.s3.amazonaws.com"
+    try:
+        regdomain.use_psl()
+        # default PSL mode resolves to the vendored rules (object cache)
+        assert regdomain._psl.exact == p.exact
+    finally:
+        regdomain.use_heuristic()
 
 
 def test_full_dat_file_parses(tmp_path):
