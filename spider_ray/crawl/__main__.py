@@ -58,6 +58,10 @@ def main() -> None:
     ap.add_argument("--sitemap-depth", type=int, default=0,
                     help="max_depth for sitemap-discovered seeds "
                          "(0 = exactly the listed pages)")
+    ap.add_argument("--archive", action="store_true",
+                    help="keep raw captures: per-round Common-Crawl-style "
+                         "member-gzip WARC files + CDX index under "
+                         "round=N/archive/")
     args = ap.parse_args()
 
     # Ray Data's own sizing advisory (>= 50% of memory for the object
@@ -115,6 +119,7 @@ def main() -> None:
             seed_urls=seed_urls,
             fetch_mode="live" if args.live else "corpus",
             pages_file=args.pages,
+            archive_html=args.archive,
         )
         if args.schedule:
             steps = [s.strip() for s in args.schedule.split(",") if s.strip()]

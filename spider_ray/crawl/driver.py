@@ -19,6 +19,7 @@ __ray_entry__.py.
 
 from __future__ import annotations
 
+import glob
 import json
 import logging
 import os
@@ -208,6 +209,7 @@ class CrawlDriver:
         fetcher_kwargs: dict | None = None,
         seed_urls: list[str] | None = None,
         pages_file: str = "pages.parquet",
+        archive_html: bool = False,
     ) -> None:
         self.fixture_dir = fixture_dir
         self.ckpt_dir = ckpt_dir
@@ -238,6 +240,11 @@ class CrawlDriver:
         # seeds.parquet for round 0; resumed checkpoints never re-seed,
         # so this only matters on a fresh ckpt_dir.
         self.seed_urls = seed_urls
+        # S5 sibling sink: keep the raw captures as Common-Crawl-shaped
+        # member-gzip WARC files + a CDX index per round (the artifact a
+        # real crawl archives next to extracted text).  Off by default —
+        # it roughly doubles the round's bytes written.
+        self.archive_html = archive_html
         self.metrics: list[dict] = []
         # side threads for parquet sinks + metric aggregates: sinks feed
         # nothing downstream, so their executions overlap the round's
@@ -339,10 +346,22 @@ class CrawlDriver:
             return
         tmp = dest_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        pages = ray.data.read_parquet(
-            self._resolve_corpus_source(pages_file),
-            columns=["url", "html", "lang"],
-        )
+        src = self._resolve_corpus_source(pages_file)
+        # the bucketed layout retains the capture timestamp so archive
+        # mode (archive_html) can stamp WARC-Date from the corpus; one
+        # int64 per row, and every non-archive read still prunes to
+        # url+html+lang, so the retained column costs nothing per round
+        cols = ["url", "html", "lang"]
+        probe = src if isinstance(src, str) else src[0]
+        if os.path.isdir(probe):
+            cand = sorted(glob.glob(os.path.join(probe, "*.parquet")))
+            probe = cand[0] if cand else probe
+        try:
+            if "warc_ts" in pq.read_schema(probe).names:
+                cols = ["url", "warc_ts", "html", "lang"]
+        except OSError:
+            pass
+        pages = ray.data.read_parquet(src, columns=cols)
         nb = self.fetch_buckets
 
         psl_mode = self.cfg.psl
@@ -765,10 +784,21 @@ class CrawlDriver:
                     .sort(["bucket", "url"])
                     .map_batches(
                         partial(stages.fetch_batch_multi,
-                                pages_dir=self.pages_dir),
+                                pages_dir=self.pages_dir,
+                                with_ts=self.archive_html),
                         batch_format="pyarrow",
                         batch_size=None,
                     )
+                )
+            if self.archive_html:
+                # S5 sibling: raw-capture WARC + CDX sink, pass-through
+                # on the fetch->extract edge (drops the warc_ts carrier,
+                # so extract sees the exact non-archive schema)
+                arch_dir = os.path.join(tmp, "archive")
+                os.makedirs(arch_dir, exist_ok=True)
+                fetched = fetched.map_batches(
+                    partial(stages.archive_warc_batch, archive_dir=arch_dir),
+                    batch_format="pyarrow",
                 )
             ex = fetched.map_batches(
                 partial(stages.extract_batch, cfg_ref=cfg_ref),

@@ -383,7 +383,9 @@ def add_fetch_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
 _EMPTY_PAGES = None
 
 
-def _read_bucket_pages(bucket_dir: str, urls: list[str]) -> pa.Table:
+def _read_bucket_pages(
+    bucket_dir: str, urls: list[str], with_ts: bool = False
+) -> pa.Table:
     """Metadata-first selective read of one corpus bucket.
 
     Phase 1 is METADATA-ONLY: the bucket is url-sorted on disk, so each
@@ -400,11 +402,17 @@ def _read_bucket_pages(bucket_dir: str, urls: list[str]) -> pa.Table:
 
     probe = np.array(sorted(set(urls)))
     parts = []
+    cols = ["url", "html", "lang"]
     for f in sorted(_glob.glob(os.path.join(bucket_dir, "*.parquet"))):
         pf = pq_file.ParquetFile(f)
         md = pf.metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         uidx = names.index("url")
+        if with_ts and "warc_ts" in names and "warc_ts" not in cols:
+            # archive mode: carry the capture timestamp when the
+            # bucketed layout retains it (pre-archive layouts degrade
+            # to the epoch sentinel downstream rather than erroring)
+            cols = ["url", "warc_ts", "html", "lang"]
         mins: list[str] = []
         maxs: list[str] = []
         have_stats = True
@@ -419,7 +427,7 @@ def _read_bucket_pages(bucket_dir: str, urls: list[str]) -> pa.Table:
             lo = np.searchsorted(probe, np.asarray(mins), side="left")
             hi = np.searchsorted(probe, np.asarray(maxs), side="right")
             for g in np.flatnonzero(lo < hi):
-                tbl = pf.read_row_group(int(g), columns=["url", "html", "lang"])
+                tbl = pf.read_row_group(int(g), columns=cols)
                 u = np.asarray(tbl.column("url").to_pylist())
                 sub = probe[lo[g]:hi[g]]
                 idx = np.searchsorted(u, sub)
@@ -442,32 +450,47 @@ def _read_bucket_pages(bucket_dir: str, urls: list[str]) -> pa.Table:
         for g in np.unique(groups):
             start = 0 if g == 0 else bounds[g - 1]
             local = hit_rows[groups == g] - start
-            tbl = pf.read_row_group(int(g), columns=["url", "html", "lang"])
+            tbl = pf.read_row_group(int(g), columns=cols)
             parts.append(tbl.take(pa.array(local)))
     if not parts:
         return pa.table(
             {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary()),
              "lang": pa.array([], pa.string())}
         )
-    return pa.concat_tables(parts)
+    out = pa.concat_tables(parts)
+    if "warc_ts" in out.schema.names:
+        # pin a single column order (warc_ts last) so fetch_group's
+        # join output schema is identical across hit/miss/empty paths
+        out = out.select(["url", "html", "lang", "warc_ts"])
+    return out
 
 
-def fetch_group(group: pa.Table, pages_dir: str) -> pa.Table:
+def fetch_group(
+    group: pa.Table, pages_dir: str, with_ts: bool = False
+) -> pa.Table:
     """One bucket's selected URLs joined against that bucket's pages
     partition only — the scale path: a round reads the row groups of
     the domains it touches inside 1/NB of the corpus instead of
     shuffling the pages table (SURVEY.md §2.4 J1).  Arrow-native
     throughout: selective parquet read -> Acero hash join, html bytes
-    never pass through pandas object arrays."""
+    never pass through pandas object arrays.  ``with_ts`` additionally
+    carries the page's capture timestamp (archive mode — consumed and
+    dropped by archive_warc_batch; misses coalesce to the epoch
+    sentinel so the join output schema stays null-free)."""
     bucket = int(group.column("bucket")[0].as_py()) if group.num_rows else -1
     bucket_dir = os.path.join(pages_dir, f"bucket={bucket}")
     urls = group.column("url").to_pylist()
     if group.num_rows and os.path.isdir(bucket_dir):
-        pages = _read_bucket_pages(bucket_dir, urls)
+        pages = _read_bucket_pages(bucket_dir, urls, with_ts=with_ts)
     else:
         pages = pa.table(
             {"url": pa.array([], pa.string()), "html": pa.array([], pa.binary()),
              "lang": pa.array([], pa.string())}
+        )
+    if with_ts and "warc_ts" not in pages.schema.names:
+        pages = pages.append_column(
+            "warc_ts",
+            pa.nulls(pages.num_rows, pa.timestamp("us")),
         )
     out = group.join(pages, keys="url", join_type="left outer")
     html = out.column("html")
@@ -481,11 +504,20 @@ def fetch_group(group: pa.Table, pages_dir: str) -> pa.Table:
         out.schema.get_field_index("lang"), "lang",
         pc.coalesce(out.column("lang"), pa.scalar("", pa.string())),
     )
+    if with_ts:
+        out = out.set_column(
+            out.schema.get_field_index("warc_ts"), "warc_ts",
+            pc.coalesce(
+                out.column("warc_ts"), pa.scalar(0, pa.timestamp("us"))
+            ),
+        )
     out = out.append_column("found", found.cast(pa.int8()))
     return out.append_column("n_bytes", n_bytes.cast(pa.int64()))
 
 
-def fetch_batch_multi(batch: pa.Table, pages_dir: str) -> pa.Table:
+def fetch_batch_multi(
+    batch: pa.Table, pages_dir: str, with_ts: bool = False
+) -> pa.Table:
     """Fetch join over a block that may hold SEVERAL buckets or a
     PARTIAL bucket — the boundary-quality fix for the e7 straggler.
 
@@ -505,16 +537,87 @@ def fetch_batch_multi(batch: pa.Table, pages_dir: str) -> pa.Table:
     url-sorted corpus layout), versus the full metadata pass a hash
     sub-split would duplicate."""
     if batch.num_rows == 0:
-        return fetch_group(batch, pages_dir)
+        return fetch_group(batch, pages_dir, with_ts=with_ts)
     b = batch.column("bucket").to_numpy(zero_copy_only=False)
     cuts = np.flatnonzero(np.diff(b)) + 1
     starts = np.concatenate(([0], cuts))
     stops = np.concatenate((cuts, [len(b)]))
     parts = [
-        fetch_group(batch.slice(int(s), int(e - s)), pages_dir)
+        fetch_group(batch.slice(int(s), int(e - s)), pages_dir,
+                    with_ts=with_ts)
         for s, e in zip(starts, stops)
     ]
     return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+
+def archive_warc_batch(batch: pa.Table, archive_dir: str) -> pa.Table:
+    """Pass-through WARC archive sink between fetch and extract
+    (SURVEY.md §2.1 S5 sibling; the Common-Crawl-shaped raw-capture
+    artifact every real crawl keeps alongside extracted text).
+
+    For the block's ``found`` rows this writes ONE member-gzip
+    ``.warc.gz`` file (one gzip member per record, the Common Crawl
+    layout ``sources/warc.py`` reads back) plus a CDX-style sidecar
+    parquet (url, warc_ts, digest, filename, offset, length) whose
+    (offset, length) address the record's gzip member for random
+    access.  Everything is content-derived — record bytes from
+    (url, warc_ts, html) only, file names from the sha1 of the file's
+    bytes — so the archive's RECORD SET is invariant under
+    partitioning/parallelism and golden-comparable against the
+    sequential oracle, and a re-run of an interrupted round converges
+    on identical files (the round's tmp-dir rename keeps the
+    checkpoint atomic as for every other sink).  The batch itself
+    passes through unchanged except that the ``warc_ts`` carrier
+    column is dropped, so the downstream extract stage sees the exact
+    non-archive schema."""
+    import hashlib
+
+    from spider_ray.sources.warc import warc_record
+
+    out = batch
+    if "warc_ts" in out.schema.names:
+        out = out.drop_columns(["warc_ts"])
+    if batch.num_rows == 0:
+        return out
+    mask = pc.equal(batch.column("found"), pa.scalar(1, pa.int8()))
+    hit = batch.filter(mask)
+    if hit.num_rows == 0:
+        return out
+    urls = hit.column("url").to_pylist()
+    htmls = hit.column("html").to_pylist()
+    if "warc_ts" in hit.schema.names:
+        tss = hit.column("warc_ts").cast(pa.int64()).to_pylist()
+    else:
+        tss = [0] * len(urls)
+    members: list[bytes] = []
+    offsets: list[int] = []
+    lengths: list[int] = []
+    digests: list[str] = []
+    pos = 0
+    for u, ts, h in zip(urls, tss, htmls):
+        rec = warc_record(u, ts or 0, h, gzip_member=True)
+        members.append(rec)
+        offsets.append(pos)
+        lengths.append(len(rec))
+        digests.append(hashlib.sha1(h).hexdigest())
+        pos += len(rec)
+    blob = b"".join(members)
+    stem = "part-" + hashlib.sha1(blob).hexdigest()[:16]
+    fname = stem + ".warc.gz"
+    with open(os.path.join(archive_dir, fname), "wb") as f:
+        f.write(blob)
+    cdx = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+            "digest": pa.array(digests, pa.string()),
+            "filename": pa.array([fname] * len(urls), pa.string()),
+            "offset": pa.array(offsets, pa.int64()),
+            "length": pa.array(lengths, pa.int64()),
+        }
+    )
+    pq_file.write_table(cdx, os.path.join(archive_dir, stem + ".cdx.parquet"))
+    return out
 
 
 def domain_count_partial(t: pa.Table, pool_size: int) -> pa.Table:

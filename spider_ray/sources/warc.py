@@ -113,36 +113,53 @@ def read_warc(paths) -> "ray.data.Dataset":  # noqa: F821
     )
 
 
+def warc_record(url: str, ts, html: bytes, *,
+                gzip_member: bool = False) -> bytes:
+    """One (url, timestamp, html) -> the bytes of one WARC/1.0 response
+    record (minimal HTTP/1.1 200 envelope).  Fully DETERMINISTIC: the
+    record carries no random ID and no wall-clock field — WARC-Date is
+    the page's own capture timestamp, and ``gzip_member=True`` pins
+    ``mtime=0`` in the gzip header — so identical inputs serialize to
+    identical bytes on any worker, which is what lets the crawl's
+    archive sink golden-compare against the sequential oracle and name
+    files by content hash."""
+    if isinstance(html, str):
+        html = html.encode()
+    if hasattr(ts, "strftime"):
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    elif isinstance(ts, (int, float)) and ts:
+        # microseconds-since-epoch (the engine's warc_ts carrier dtype)
+        date = datetime.fromtimestamp(
+            ts / 1_000_000, tz=timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    else:
+        date = "1970-01-01T00:00:00Z"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Length: " + str(len(html)).encode() + _CRLF2[:2] +
+        b"\r\n" + html
+    )
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        "\r\n"
+    ).encode()
+    rec = hdr + http + _CRLF2
+    return gzip.compress(rec, mtime=0) if gzip_member else rec
+
+
 def warc_bytes(table: pa.Table, *, gzip_records: bool = False) -> bytes:
     """Pages rows -> a WARC/1.0 byte stream (response records with a
     minimal HTTP/1.1 200 envelope).  The writer half of the round-trip
     test; also the export path for interchange with WARC tooling.
     ``gzip_records=True`` emits the Common Crawl member-gzip layout
     (each record its own gzip member)."""
-    chunks: list[bytes] = []
-    for row in table.to_pylist():
-        html = row["html"]
-        if isinstance(html, str):
-            html = html.encode()
-        ts = row.get("warc_ts")
-        if hasattr(ts, "strftime"):
-            date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-        else:
-            date = "1970-01-01T00:00:00Z"
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            b"Content-Length: " + str(len(html)).encode() + _CRLF2[:2] +
-            b"\r\n" + html
-        )
-        hdr = (
-            "WARC/1.0\r\n"
-            "WARC-Type: response\r\n"
-            f"WARC-Target-URI: {row['url']}\r\n"
-            f"WARC-Date: {date}\r\n"
-            f"Content-Length: {len(http)}\r\n"
-            "Content-Type: application/http; msgtype=response\r\n"
-            "\r\n"
-        ).encode()
-        rec = hdr + http + _CRLF2
-        chunks.append(gzip.compress(rec) if gzip_records else rec)
-    return b"".join(chunks)
+    return b"".join(
+        warc_record(row["url"], row.get("warc_ts"), row["html"],
+                    gzip_member=gzip_records)
+        for row in table.to_pylist()
+    )
