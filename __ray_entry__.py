@@ -165,6 +165,100 @@ def _crawl_revisit(sf_dir: str) -> Any:
     return pa.concat_tables([pq.read_table(f) for f in files])
 
 
+def _crawl_continuous(sf_dir: str) -> Any:
+    """Combined activity table of the continuous daemon (round-5
+    feature): CrawlDriver.run_continuous on the pinned 6-step
+    crawl/revisit schedule, crawl-order rows and revisit checksum
+    diffs merged into one schema.  Oracle: a pinned golden from the
+    sequential simulator's run_continuous on the same schedule
+    (spider_ray/goldens.py crawl_continuous_golden)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spider_ray.goldens import CONTINUOUS_SCHEDULE
+
+    _ensure_worker_importable()
+    fixture = _ensure_micro_fixture()
+    ckpt = "/tmp/spider_ray_entry/ckpt_continuous"
+    done = os.path.join(ckpt, "_continuous_done")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        from spider_ray.crawl.driver import CrawlDriver
+
+        drv = CrawlDriver(fixture, ckpt)
+        drv.run_continuous(CONTINUOUS_SCHEDULE)
+        drv.close()
+        with open(done, "w") as f:
+            f.write("ok")
+    rows = []
+    for f in sorted(glob.glob(os.path.join(ckpt, "round=*", "order",
+                                           "*.parquet"))):
+        t = pq.read_table(f)
+        for r in t.to_pylist():
+            rows.append((r["round"], "crawl", r["seq"], r["depth"],
+                         r["domain"], r["url"], False))
+    for f in sorted(glob.glob(os.path.join(ckpt, "round=*", "revisit",
+                                           "*.parquet"))):
+        t = pq.read_table(f)
+        for r in t.to_pylist():
+            rows.append((r["round"], "revisit", -1, -1, r["domain"],
+                         r["url"], r["changed"]))
+    rows.sort(key=lambda r: (r[0], r[1], r[2], r[5]))
+    return pa.table({
+        "round": pa.array([r[0] for r in rows], pa.int32()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "seq": pa.array([r[2] for r in rows], pa.int64()),
+        "depth": pa.array([r[3] for r in rows], pa.int32()),
+        "domain": pa.array([r[4] for r in rows], pa.string()),
+        "url": pa.array([r[5] for r in rows], pa.string()),
+        "changed": pa.array([r[6] for r in rows], pa.bool_()),
+    })
+
+
+def _crawl_archive(sf_dir: str) -> Any:
+    """CDX record set of an archive-mode micro crawl (round-5 WARC
+    sink): the content-derived columns (round, url, warc_ts, digest)
+    of every cdx sidecar row — filename/offset/length are
+    block-composition-dependent and excluded.  Oracle: pinned golden
+    from the sequential simulator's fetched set
+    (spider_ray/goldens.py crawl_archive_golden)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _ensure_worker_importable()
+    fixture = _ensure_micro_fixture()
+    ckpt = "/tmp/spider_ray_entry/ckpt_archive"
+    done = os.path.join(ckpt, "_archive_done")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        from spider_ray.crawl.driver import CrawlDriver
+
+        drv = CrawlDriver(fixture, ckpt, archive_html=True)
+        drv.run(max_rounds=4)
+        drv.close()
+        with open(done, "w") as f:
+            f.write("ok")
+    parts = []
+    for f in sorted(glob.glob(os.path.join(ckpt, "round=*", "archive",
+                                           "*.cdx.parquet"))):
+        rnd = int(os.path.basename(os.path.dirname(os.path.dirname(f)))
+                  .split("=")[1])
+        t = pq.read_table(f, columns=["url", "warc_ts", "digest"])
+        t = t.append_column(
+            "round", pa.array([rnd] * t.num_rows, pa.int32()))
+        parts.append(t.select(["round", "url", "warc_ts", "digest"]))
+    out = pa.concat_tables(parts)
+    return out.sort_by([("round", "ascending"), ("url", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2
     plus the training-data pipelines (dedup, ANN, text analysis,
@@ -196,6 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     out["crawl_flagship"] = _crawl_flagship
     out["crawl_revisit"] = _crawl_revisit
+    # round-5 crawl features, pinned at the head alongside the
+    # flagship so the gate records them the round they land
+    out["crawl_continuous"] = _crawl_continuous
+    out["crawl_archive"] = _crawl_archive
     names = _gate_order(
         QUERIES, WINDOW_QUERIES, SKETCH_QUERIES, TEXT_QUERIES,
         DEDUP_QUERIES, GRAPH_QUERIES, FREQ_QUERIES, ANN_QUERIES,
@@ -212,8 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
-# the driver gate records ~50 entries; 2 are the pinned crawl heads
-_GATE_WINDOW = 48
+# the driver gate records ~50 entries; 4 are the pinned crawl heads
+_GATE_WINDOW = 46
 
 
 def _gate_rotation(n: int, window: int = _GATE_WINDOW) -> int:
@@ -329,6 +427,13 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_revisit"] = golden_sql(
         "crawl_revisit",
         "url, domain, old_checksum, new_checksum, changed, round",
+    )
+    out["crawl_continuous"] = golden_sql(
+        "crawl_continuous",
+        "round, kind, seq, depth, domain, url, changed",
+    )
+    out["crawl_archive"] = golden_sql(
+        "crawl_archive", "round, url, warc_ts, digest"
     )
     out.update(ORACLE_SQL)
     out.update(WINDOW_ORACLE_SQL)

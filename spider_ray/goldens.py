@@ -451,6 +451,94 @@ def train_bpe_golden(sf_dir: str = SF_DIR, n_merges: int = 200,
     })
 
 
+# the daemon schedule shared by the golden, the engine query and
+# tests/test_crawl_continuous.py — step i is round i (virtual time)
+CONTINUOUS_SCHEDULE = ["crawl", "crawl", "revisit", "crawl", "revisit",
+                       "crawl"]
+
+
+def crawl_continuous_golden() -> pa.Table:
+    """Combined activity table of the oracle daemon running the pinned
+    6-step crawl/revisit schedule on the micro fixture — crawl steps
+    contribute their crawl-order rows, revisit steps their checksum
+    diffs, in one schema so the driver gate hashes both effect kinds.
+    Engine twin: __ray_entry__._crawl_continuous."""
+    import shutil
+    import tempfile
+
+    from spider_ray.fixtures.gen import generate
+    from spider_ray.oracle import OracleCrawl
+
+    tmp = tempfile.mkdtemp(prefix="spider_ray_goldens_")
+    try:
+        generate("micro", tmp)
+        sim = OracleCrawl(tmp)
+        sim.run_continuous(CONTINUOUS_SCHEDULE)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = [
+        (rnd, "crawl", seq, depth, domain, url, False)
+        for seq, rnd, depth, domain, url in sim.crawl_order
+    ] + [
+        (rnd, "revisit", -1, -1, domain, url, changed)
+        for url, domain, _old, _new, changed, rnd in sim.revisit_rows
+    ]
+    rows.sort(key=lambda r: (r[0], r[1], r[2], r[5]))
+    return pa.table({
+        "round": pa.array([r[0] for r in rows], pa.int32()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "seq": pa.array([r[2] for r in rows], pa.int64()),
+        "depth": pa.array([r[3] for r in rows], pa.int32()),
+        "domain": pa.array([r[4] for r in rows], pa.string()),
+        "url": pa.array([r[5] for r in rows], pa.string()),
+        "changed": pa.array([r[6] for r in rows], pa.bool_()),
+    })
+
+
+def crawl_archive_golden() -> pa.Table:
+    """Expected CDX record set (round, url, warc_ts, digest) of an
+    archive-mode micro crawl: one record per fetched page per round,
+    timestamp from the corpus capture column, digest = sha1(html).
+    Engine twin reads the crawl's cdx sidecars
+    (__ray_entry__._crawl_archive); filename/offset/length are
+    block-composition-dependent and excluded from the golden."""
+    import shutil
+    import tempfile
+
+    from spider_ray.fixtures.gen import generate
+    from spider_ray.oracle import OracleCrawl
+
+    tmp = tempfile.mkdtemp(prefix="spider_ray_goldens_")
+    try:
+        generate("micro", tmp)
+        corpus_t = pq.read_table(os.path.join(tmp, "pages.parquet"),
+                                 columns=["url", "warc_ts", "html"])
+        sim = OracleCrawl(tmp)
+        sim.run(max_rounds=4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    corpus = {
+        u: (ts, h)
+        for u, ts, h in zip(
+            corpus_t.column("url").to_pylist(),
+            corpus_t.column("warc_ts").cast("int64").to_pylist(),
+            corpus_t.column("html").to_pylist(),
+        )
+    }
+    rows = []
+    for url, _text, _lang, rnd, _seq in sim.extracted:
+        ts, html = corpus[url]
+        rows.append((rnd, url, ts, hashlib.sha1(html).hexdigest()))
+    rows.sort()
+    return pa.table({
+        "round": pa.array([r[0] for r in rows], pa.int32()),
+        "url": pa.array([r[1] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "digest": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "chunk_documents_bpe": chunk_bpe_golden,
@@ -464,6 +552,8 @@ GOLDENS = {
     "cms_term_counts": cms_golden,
     "crawl_flagship": crawl_flagship_golden,
     "crawl_revisit": crawl_revisit_golden,
+    "crawl_continuous": crawl_continuous_golden,
+    "crawl_archive": crawl_archive_golden,
 }
 
 
