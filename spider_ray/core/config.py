@@ -46,6 +46,14 @@ class CrawlConfig:
     # npz-per-shard (default), "sqlite" = one DB per round dir — the
     # reference's Storage-interface swap (§2.10)
     state_backend: str = "file"
+    # URL trap guard (core/traps.py): structural crawler-trap filter
+    # applied to scope-clean candidates.  OFF by default — the pinned
+    # fixture goldens never see it; a real deployment enables it.
+    trap_guard: bool = False
+    trap_max_url_len: int = 1024
+    trap_max_path_depth: int = 16
+    trap_max_segment_repeats: int = 3
+    trap_max_query_params: int = 8
 
     _rules_cache: dict[str, RobotsRules] = field(
         default_factory=dict, compare=False, hash=False, repr=False
@@ -91,6 +99,12 @@ class CrawlConfig:
                 **({"psl": True} if self.psl else {}),
                 **({"state_backend": self.state_backend}
                    if self.state_backend != "file" else {}),
+                **({"trap_guard": True,
+                    "trap_max_url_len": self.trap_max_url_len,
+                    "trap_max_path_depth": self.trap_max_path_depth,
+                    "trap_max_segment_repeats": self.trap_max_segment_repeats,
+                    "trap_max_query_params": self.trap_max_query_params}
+                   if self.trap_guard else {}),
             },
             sort_keys=True,
         )
@@ -110,6 +124,11 @@ class CrawlConfig:
             salt_target=d["salt_target"],
             psl=d.get("psl", False),
             state_backend=d.get("state_backend", "file"),
+            trap_guard=d.get("trap_guard", False),
+            trap_max_url_len=d.get("trap_max_url_len", 1024),
+            trap_max_path_depth=d.get("trap_max_path_depth", 16),
+            trap_max_segment_repeats=d.get("trap_max_segment_repeats", 3),
+            trap_max_query_params=d.get("trap_max_query_params", 8),
         )
 
     def config_hash(self) -> str:

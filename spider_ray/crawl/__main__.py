@@ -58,6 +58,10 @@ def main() -> None:
     ap.add_argument("--sitemap-depth", type=int, default=0,
                     help="max_depth for sitemap-discovered seeds "
                          "(0 = exactly the listed pages)")
+    ap.add_argument("--trap-guard", action="store_true",
+                    help="drop structurally trap-shaped candidate urls "
+                         "(repeated path segments, runaway depth/length, "
+                         "faceted-query explosions — core/traps.py)")
     ap.add_argument("--archive", action="store_true",
                     help="keep raw captures: per-round Common-Crawl-style "
                          "member-gzip WARC files + CDX index under "
@@ -101,6 +105,8 @@ def main() -> None:
         # the heuristic.  --psl/--no-psl overrides either way.
         if args.psl if args.psl is not None else args.live:
             overrides["psl"] = True
+        if args.trap_guard:
+            overrides["trap_guard"] = True
         seed_urls = None
         if args.sitemaps:
             from spider_ray.sources import read_sitemaps, sitemap_seed_table

@@ -661,6 +661,7 @@ class CrawlDriver:
         m["dedup_batch"] = sc.get(stages.ST_DUP, 0)
         m["dedup_seen"] = sc.get(stages.ST_SEEN, 0)
         m["robots_denied"] = sc.get(stages.ST_ROBOTS, 0)
+        m["trap_dropped"] = sc.get(stages.ST_TRAP, 0)
         eligible_count = sc.get(stages.ST_OK, 0)
         tt = _mark("e2 status-hist", tt)
 

@@ -49,12 +49,14 @@ from spider_ray.core.links import kept_links
 from spider_ray.core.schemas import FRONTIER
 from spider_ray.core.scope import split_host_pq
 from spider_ray.core.seqs import LINK_BITS
+from spider_ray.core.traps import TRAP_NONE, trap_reasons_batch
 from spider_ray.crawl.state import gate_shard
 from spider_ray.oracle import seed_frontier as _oracle_seed_frontier
 
 _cfg_cache: dict[bytes, CrawlConfig] = {}
 
 ST_OK, ST_DEPTH, ST_EXCLUDED, ST_DUP, ST_SEEN, ST_ROBOTS = 0, 1, 2, 3, 4, 5
+ST_TRAP = 6
 CH_OK, CH_DEPTH, CH_DUP, CH_SEEN = 0, 1, 2, 3
 
 
@@ -140,6 +142,19 @@ def flags_and_part_batch(batch: pa.Table, cfg_ref) -> pa.Table:
                 hit |= vals.str.contains(p, regex=True).to_numpy()
             excl[mask] = hit
         reason[todo[excl]] = ST_EXCLUDED
+    if cfg.trap_guard:
+        # M4 extension: structural crawler-trap filter on scope-clean
+        # rows (core/traps.py — vectorized twin, oracle-exact by the
+        # check-then-confirm construction); same precedence position
+        # as the oracle's run_round loop (after exclusion)
+        tok = np.flatnonzero(reason == ST_OK)
+        if len(tok):
+            codes = trap_reasons_batch(
+                pd.Series(batch.column("url").take(pa.array(tok)).to_pylist()),
+                cfg.trap_max_url_len, cfg.trap_max_path_depth,
+                cfg.trap_max_segment_repeats, cfg.trap_max_query_params,
+            )
+            reason[tok[codes != TRAP_NONE]] = ST_TRAP
     return batch.append_column("status", pa.array(reason, pa.int8()))
 
 

@@ -51,6 +51,7 @@ from spider_ray.core.regdomain import registrable_domain
 from spider_ray.core.schemas import CRAWL_ORDER, EXTRACTED, PAGESTATE, REVISIT, SEEN
 from spider_ray.core.scope import is_excluded, split_host_pq
 from spider_ray.core.seqs import child_seq
+from spider_ray.core.traps import trap_reason
 from spider_ray.core.canon import canonicalize
 
 METRIC_KEYS = [
@@ -59,7 +60,7 @@ METRIC_KEYS = [
     "parsed", "bytes_in", "links_raw", "links_scheme_rejected",
     "links_out_of_scope", "links_excluded", "links_dup_in_page",
     "links_overflow", "links_out", "links_depth_dropped", "links_dedup",
-    "links_seen", "enqueued",
+    "links_seen", "enqueued", "trap_dropped",
 ]
 
 REVISIT_METRIC_KEYS = [
@@ -150,6 +151,12 @@ class OracleCrawl:
                 continue
             if is_excluded(pqstr, cfg.exclusion_patterns(leg.domain)):
                 m["excluded"] += 1
+                continue
+            if cfg.trap_guard and trap_reason(
+                leg.url, cfg.trap_max_url_len, cfg.trap_max_path_depth,
+                cfg.trap_max_segment_repeats, cfg.trap_max_query_params,
+            ):
+                m["trap_dropped"] += 1
                 continue
             kept.append(leg)
 

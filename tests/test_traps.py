@@ -1,0 +1,121 @@
+"""URL trap guard — kernel unit tests + vectorized-twin differential
+fuzz (core/traps.py).  Crawl integration is covered in
+tests/test_crawl_traps.py (golden vs oracle with the guard on)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from spider_ray.core.traps import (
+    TRAP_DEPTH,
+    TRAP_LENGTH,
+    TRAP_NONE,
+    TRAP_PARAMS,
+    TRAP_REPEAT,
+    trap_reason,
+    trap_reasons_batch,
+)
+
+U = "https://site0001.example"
+
+
+def test_clean_urls():
+    for u in [
+        f"{U}/",
+        f"{U}/p/1",
+        f"{U}/a/b/c/d?x=1&y=2",
+        f"{U}/a/a",                      # run of 2 < 3
+        f"{U}/a/b/a/b",                  # 2 pair repeats < 3
+        f"{U}/p/1?" + "&".join(f"k{i}=v" for i in range(8)),  # 8 == max
+    ]:
+        assert trap_reason(u) == TRAP_NONE, u
+
+
+def test_length_rule():
+    u = f"{U}/" + "x" * 2000
+    assert trap_reason(u) == TRAP_LENGTH
+    # one long segment is depth 1 -> clean once the length cap is raised
+    assert trap_reason(u, max_url_len=3000) == TRAP_NONE
+
+
+def test_depth_rule():
+    u = U + "".join(f"/s{i}" for i in range(17))
+    assert trap_reason(u) == TRAP_DEPTH
+    assert trap_reason(U + "".join(f"/s{i}" for i in range(16))) == TRAP_NONE
+
+
+def test_repeat_run_rule():
+    assert trap_reason(f"{U}/a/a/a") == TRAP_REPEAT
+    assert trap_reason(f"{U}/x/a/a/a/y") == TRAP_REPEAT
+    assert trap_reason(f"{U}/a/a/b/a/a") == TRAP_NONE  # runs of 2
+    assert trap_reason(f"{U}/a/a/a/a", max_segment_repeats=5) == TRAP_NONE
+
+
+def test_repeat_cycle_rule():
+    assert trap_reason(f"{U}/a/b/a/b/a/b") == TRAP_REPEAT
+    assert trap_reason(f"{U}/x/a/b/a/b/a/b") == TRAP_REPEAT
+    assert trap_reason(f"{U}/a/b/a/b/a") == TRAP_NONE  # 2.5 pairs
+    assert trap_reason(f"{U}/a/b/a/b") == TRAP_NONE
+
+
+def test_params_rule():
+    q9 = "&".join(f"k{i}=v" for i in range(9))
+    assert trap_reason(f"{U}/p?{q9}") == TRAP_PARAMS
+    assert trap_reason(f"{U}/p?") == TRAP_NONE  # empty query
+
+
+def test_precedence_length_first():
+    # a url that is too long AND too deep AND repeating -> LENGTH
+    u = U + "".join("/a" for _ in range(600))
+    assert trap_reason(u) == TRAP_LENGTH
+    # too deep AND repeating -> DEPTH
+    u2 = U + "".join("/a" for _ in range(20))
+    assert trap_reason(u2, max_url_len=10_000) == TRAP_DEPTH
+
+
+def _fuzz_urls(n: int) -> list[str]:
+    """Deterministic adversarial url corpus: short-alphabet segments
+    (forces repeats and cycles), variable depth, query tails."""
+    urls = []
+    segs = ["a", "b", "c", "aa", "ab"]
+    for i in range(n):
+        h = hashlib.sha1(f"trapfuzz{i}".encode()).digest()
+        depth = h[0] % 22
+        parts = [segs[h[1 + j % 18] % len(segs)] for j in range(depth)]
+        u = U + "".join("/" + p for p in parts)
+        if h[19] % 3 == 0:
+            u += "?" + "&".join(
+                f"k{j}=v" for j in range(h[18] % 12)
+            )
+        if h[19] % 7 == 0:
+            u += "/" + "z" * (h[17] * 8)
+        urls.append(u)
+    return urls
+
+
+def test_vectorized_twin_differential_fuzz():
+    urls = _fuzz_urls(4000)
+    expect = np.array([trap_reason(u) for u in urls], dtype=np.int8)
+    got = trap_reasons_batch(urls)
+    mismatch = np.flatnonzero(expect != got)
+    assert mismatch.size == 0, [
+        (urls[i], int(expect[i]), int(got[i])) for i in mismatch[:5]
+    ]
+
+
+def test_vectorized_twin_tight_thresholds():
+    urls = _fuzz_urls(1500)
+    kw = dict(max_url_len=60, max_path_depth=4,
+              max_segment_repeats=2, max_query_params=2)
+    expect = np.array([trap_reason(u, **kw) for u in urls], dtype=np.int8)
+    got = trap_reasons_batch(urls, **kw)
+    assert (expect == got).all()
+
+
+def test_vectorized_empty_and_rootless():
+    assert trap_reasons_batch([]).size == 0
+    got = trap_reasons_batch(["https://x.example", f"{U}/"])
+    assert (got == TRAP_NONE).all()
