@@ -259,6 +259,68 @@ def _crawl_archive(sf_dir: str) -> Any:
     return out.sort_by([("round", "ascending"), ("url", "ascending")])
 
 
+def _crawl_trap_guard(sf_dir: str) -> Any:
+    """Trap-guarded crawl activity (round-5 feature, core/traps.py):
+    a 4-round crawl over the deterministically trap-injected micro
+    fixture with CrawlConfig.trap_guard on — crawl-order rows plus one
+    per-round trap-drop counter row (kind="trap", count in seq; read
+    from the round manifests' metric set).  Oracle: pinned golden from
+    the sequential simulator on the same derived fixture
+    (spider_ray/goldens.py crawl_trap_guard_golden)."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _ensure_worker_importable()
+    from spider_ray.fixtures.gen import inject_trap_links
+
+    base = _ensure_micro_fixture()
+    fixture = "/tmp/spider_ray_entry/fixture_traps"
+    if not os.path.exists(os.path.join(fixture, "pages.parquet")):
+        inject_trap_links(base, fixture)
+    ckpt = "/tmp/spider_ray_entry/ckpt_traps"
+    done = os.path.join(ckpt, "_traps_done")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        from spider_ray.core.config import load_crawl_config
+        from spider_ray.crawl.driver import CrawlDriver
+
+        drv = CrawlDriver(fixture, ckpt,
+                          load_crawl_config(fixture, trap_guard=True))
+        drv.run(max_rounds=4)
+        drv.close()
+        with open(done, "w") as f:
+            f.write("ok")
+    rows = []
+    for f in sorted(glob.glob(os.path.join(ckpt, "round=*", "order",
+                                           "*.parquet"))):
+        for r in pq.read_table(f).to_pylist():
+            rows.append((r["round"], "crawl", r["seq"], r["depth"],
+                         r["domain"], r["url"]))
+    for mf in sorted(glob.glob(os.path.join(ckpt, "round=*",
+                                            "manifest.json"))):
+        rnd = int(os.path.basename(os.path.dirname(mf)).split("=")[1])
+        if rnd == 0:
+            continue  # seed round carries no candidate metrics
+        with open(mf) as fh:
+            man = json.load(fh)
+        rows.append((rnd, "trap", man["metrics"]["trap_dropped"],
+                     -1, "", ""))
+    rows.sort(key=lambda r: (r[0], r[1], r[2], r[5]))
+    return pa.table({
+        "round": pa.array([r[0] for r in rows], pa.int32()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "seq": pa.array([r[2] for r in rows], pa.int64()),
+        "depth": pa.array([r[3] for r in rows], pa.int32()),
+        "domain": pa.array([r[4] for r in rows], pa.string()),
+        "url": pa.array([r[5] for r in rows], pa.string()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2
     plus the training-data pipelines (dedup, ANN, text analysis,
@@ -294,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship so the gate records them the round they land
     out["crawl_continuous"] = _crawl_continuous
     out["crawl_archive"] = _crawl_archive
+    out["crawl_trap_guard"] = _crawl_trap_guard
     names = _gate_order(
         QUERIES, WINDOW_QUERIES, SKETCH_QUERIES, TEXT_QUERIES,
         DEDUP_QUERIES, GRAPH_QUERIES, FREQ_QUERIES, ANN_QUERIES,
@@ -310,8 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
-# the driver gate records ~50 entries; 4 are the pinned crawl heads
-_GATE_WINDOW = 46
+# the driver gate records ~50 entries; 5 are the pinned crawl heads
+_GATE_WINDOW = 45
 
 
 def _gate_rotation(n: int, window: int = _GATE_WINDOW) -> int:
@@ -434,6 +497,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["crawl_archive"] = golden_sql(
         "crawl_archive", "round, url, warc_ts, digest"
+    )
+    out["crawl_trap_guard"] = golden_sql(
+        "crawl_trap_guard", "round, kind, seq, depth, domain, url"
     )
     out.update(ORACLE_SQL)
     out.update(WINDOW_ORACLE_SQL)

@@ -305,6 +305,54 @@ def generate(scale: str, outdir: str, processes: int | None = None) -> None:
         )
 
 
+# hrefs inject_trap_links adds: a repeated-segment path cycle and a
+# faceted-search query explosion (both trip core/traps.py at default
+# thresholds; neither resolves to a corpus page, so with the guard OFF
+# they crawl as fetch misses)
+TRAP_PATH = "/t/t/t/t/x"
+TRAP_QUERY = "/p/1?" + "&".join(f"f{i}=v" for i in range(10))
+
+
+def inject_trap_links(src_dir: str, dst_dir: str, every: int = 7) -> str:
+    """Derive a trap-injected fixture: copy ``src_dir`` with trap hrefs
+    appended to every ``every``-th page's html (text recomputed with
+    the shared extraction kernel so the byte-identity invariant holds
+    by construction).  Deterministic — shared by the golden generator
+    (goldens.crawl_trap_guard_golden), the harness query
+    (__ray_entry__._crawl_trap_guard) and tests/test_crawl_traps.py."""
+    import shutil
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in ("config.json", "robots.parquet", "seeds.parquet"):
+        shutil.copy(os.path.join(src_dir, name), os.path.join(dst_dir, name))
+    pages = pq.read_table(os.path.join(src_dir, "pages.parquet"))
+    htmls = pages.column("html").to_pylist()
+    texts = pages.column("text").to_pylist()
+    inject = (
+        f'<a href="{TRAP_PATH}">loop</a>'
+        f'<a href="{TRAP_QUERY}">facets</a>'
+    ).encode()
+    for i in range(0, len(htmls), every):
+        h = htmls[i]
+        j = h.rfind(b"</body>")
+        if j == -1:
+            continue
+        htmls[i] = h[:j] + inject + h[j:]
+        texts[i] = extract_text(htmls[i])
+    out = pa.table(
+        {
+            "url": pages.column("url"),
+            "warc_ts": pages.column("warc_ts"),
+            "html": pa.array(htmls, pages.schema.field("html").type),
+            "text": pa.array(texts, pages.schema.field("text").type),
+            "lang": pages.column("lang"),
+        },
+        schema=pages.schema,
+    )
+    pq.write_table(out, os.path.join(dst_dir, "pages.parquet"))
+    return dst_dir
+
+
 def main() -> None:
     import argparse
 

@@ -539,6 +539,48 @@ def crawl_archive_golden() -> pa.Table:
     })
 
 
+def crawl_trap_guard_golden() -> pa.Table:
+    """Trap-guarded crawl activity (round-5 feature, core/traps.py):
+    the 4-round micro crawl on the shared trap-injected fixture with
+    ``trap_guard=True`` — crawl-order rows (kind="crawl") plus one
+    per-round trap-drop counter row (kind="trap", count in seq), so
+    the driver gate hashes both that traps were DROPPED and that the
+    clean crawl is otherwise unchanged.  Engine twin:
+    __ray_entry__._crawl_trap_guard."""
+    import shutil
+    import tempfile
+
+    from spider_ray.core.config import load_crawl_config
+    from spider_ray.fixtures.gen import generate, inject_trap_links
+    from spider_ray.oracle import OracleCrawl
+
+    tmp = tempfile.mkdtemp(prefix="spider_ray_goldens_")
+    try:
+        generate("micro", os.path.join(tmp, "base"))
+        fix = inject_trap_links(os.path.join(tmp, "base"),
+                                os.path.join(tmp, "traps"))
+        sim = OracleCrawl(fix, load_crawl_config(fix, trap_guard=True))
+        sim.run(max_rounds=4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = [
+        (rnd, "crawl", seq, depth, domain, url)
+        for seq, rnd, depth, domain, url in sim.crawl_order
+    ] + [
+        (rnd + 1, "trap", m["trap_dropped"], -1, "", "")
+        for rnd, m in enumerate(sim.metrics)
+    ]
+    rows.sort(key=lambda r: (r[0], r[1], r[2], r[5]))
+    return pa.table({
+        "round": pa.array([r[0] for r in rows], pa.int32()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "seq": pa.array([r[2] for r in rows], pa.int64()),
+        "depth": pa.array([r[3] for r in rows], pa.int32()),
+        "domain": pa.array([r[4] for r in rows], pa.string()),
+        "url": pa.array([r[5] for r in rows], pa.string()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "chunk_documents_bpe": chunk_bpe_golden,
@@ -554,6 +596,7 @@ GOLDENS = {
     "crawl_revisit": crawl_revisit_golden,
     "crawl_continuous": crawl_continuous_golden,
     "crawl_archive": crawl_archive_golden,
+    "crawl_trap_guard": crawl_trap_guard_golden,
 }
 
 

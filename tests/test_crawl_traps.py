@@ -12,19 +12,17 @@ candidates with ``trap_dropped`` counts agreeing per round."""
 from __future__ import annotations
 
 import glob
-import json
 import os
-import shutil
 
 import pandas as pd
-import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-ORDER_KEY = ["round", "depth", "domain", "seq", "url"]
+from spider_ray.fixtures.gen import TRAP_PATH  # noqa: E402
 
-TRAP_PATH = "/t/t/t/t/x"                       # run of 4 't' -> REPEAT
-TRAP_QUERY = "/p/1?" + "&".join(f"f{i}=v" for i in range(10))  # 10 params
+_TRAP_MARKS = (TRAP_PATH, "f9=v")  # path cycle, 10th facet param
+
+ORDER_KEY = ["round", "depth", "domain", "seq", "url"]
 
 
 def _read_all(ckpt: str, sub: str) -> pd.DataFrame:
@@ -44,45 +42,20 @@ def _norm(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
 
 @pytest.fixture(scope="module")
 def trap_fixture(micro_fixture, tmp_path_factory):
-    """Micro fixture with trap hrefs injected into every 7th page's
-    html (text recomputed with the shared extraction kernel, so the
-    byte-identity invariant holds by construction)."""
-    from spider_ray.core.extract import extract_text
+    """Micro fixture with trap hrefs injected by the shared helper
+    (fixtures/gen.py inject_trap_links — the same derivation the
+    golden generator and the harness query use)."""
+    from spider_ray.fixtures.gen import inject_trap_links
 
     root = str(tmp_path_factory.mktemp("trapfix"))
-    for name in ("config.json", "robots.parquet", "seeds.parquet"):
-        shutil.copy(os.path.join(micro_fixture, name),
-                    os.path.join(root, name))
-    pages = pq.read_table(os.path.join(micro_fixture, "pages.parquet"))
-    urls = pages.column("url").to_pylist()
-    htmls = pages.column("html").to_pylist()
-    texts = pages.column("text").to_pylist()
-    langs = pages.column("lang").to_pylist()
-    injected = 0
-    inject = (
-        f'<a href="{TRAP_PATH}">loop</a>'
-        f'<a href="{TRAP_QUERY}">facets</a>'
-    ).encode()
-    for i in range(0, len(htmls), 7):
-        h = htmls[i]
-        j = h.rfind(b"</body>")
-        if j == -1:
-            continue
-        htmls[i] = h[:j] + inject + h[j:]
-        texts[i] = extract_text(htmls[i])
-        injected += 1
-    assert injected > 100
-    out = pa.table(
-        {
-            "url": pa.array(urls, pages.schema.field("url").type),
-            "warc_ts": pages.column("warc_ts"),
-            "html": pa.array(htmls, pages.schema.field("html").type),
-            "text": pa.array(texts, pages.schema.field("text").type),
-            "lang": pa.array(langs, pages.schema.field("lang").type),
-        },
-        schema=pages.schema,
+    inject_trap_links(micro_fixture, root)
+    # sanity: the injection actually landed in a nontrivial page count
+    pages = pq.read_table(os.path.join(root, "pages.parquet"),
+                          columns=["html"])
+    injected = sum(
+        1 for h in pages.column("html").to_pylist() if b'>loop</a>' in h
     )
-    pq.write_table(out, os.path.join(root, "pages.parquet"))
+    assert injected > 100
     return root
 
 
@@ -104,7 +77,7 @@ def oracle_runs(trap_fixture):
 def test_guard_off_traps_get_selected(oracle_runs):
     _, off = oracle_runs
     trap_urls = [u for (_, _, _, _, u) in off.crawl_order
-                 if "/t/t/t/t/" in u or "f9=v" in u]
+                 if any(t in u for t in _TRAP_MARKS)]
     assert trap_urls, "guard-off crawl must select the injected traps"
     assert all(m.get("trap_dropped", 0) == 0 for m in off.metrics)
 
@@ -112,13 +85,13 @@ def test_guard_off_traps_get_selected(oracle_runs):
 def test_guard_on_oracle_drops_traps(oracle_runs):
     on, off = oracle_runs
     assert not any(
-        "/t/t/t/t/" in u or "f9=v" in u
+        any(t in u for t in _TRAP_MARKS)
         for (_, _, _, _, u) in on.crawl_order
     )
     assert sum(m["trap_dropped"] for m in on.metrics) > 0
     # guard only removes trap candidates; clean pages crawl identically
     clean_off = {u for (_, _, _, _, u) in off.crawl_order
-                 if "/t/t/t/t/" not in u and "f9=v" not in u}
+                 if not any(t in u for t in _TRAP_MARKS)}
     clean_on = {u for (_, _, _, _, u) in on.crawl_order}
     assert clean_on == clean_off
 
