@@ -758,7 +758,11 @@ class CrawlDriver:
                     fn_constructor_kwargs=fkw,
                     batch_format="pyarrow",
                     batch_size=64,
-                    concurrency=(2, max(4, n_fetch_tasks)),
+                    # floor 1: a tiny live round can arrive as a single
+                    # block after the repartition, and a 2-actor floor
+                    # then warns + idles one actor; autoscaling still
+                    # reaches the cap under load
+                    concurrency=(1, max(4, n_fetch_tasks)),
                     num_cpus=0.5,
                 )
             else:
