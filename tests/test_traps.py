@@ -119,3 +119,29 @@ def test_vectorized_empty_and_rootless():
     assert trap_reasons_batch([]).size == 0
     got = trap_reasons_batch(["https://x.example", f"{U}/"])
     assert (got == TRAP_NONE).all()
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _seg = st.text(alphabet="abx9.-", min_size=1, max_size=4)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(_seg, min_size=0, max_size=24),
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=2, max_value=5),
+    )
+    def test_vectorized_twin_property(segs, nparams, k):
+        """Property form of the differential fuzz: random short-alphabet
+        paths (maximal repeat/cycle density) at random repeat
+        thresholds — batch twin == per-row kernel, always."""
+        u = U + "".join("/" + s for s in segs)
+        if nparams:
+            u += "?" + "&".join(f"p{i}=1" for i in range(nparams))
+        kw = dict(max_url_len=120, max_path_depth=10,
+                  max_segment_repeats=k, max_query_params=6)
+        assert trap_reasons_batch([u], **kw)[0] == trap_reason(u, **kw)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
