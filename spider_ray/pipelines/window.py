@@ -321,25 +321,37 @@ def event_gaps_lag(sf_dir: str):
     ds = ops.read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     n_parts = ops.cluster_parts()
 
-    def lag_gap(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        gap = g.groupby("user_id", sort=False)["ts"].diff()
+    def lag_gap(t: pa.Table) -> pa.Table:
         # integer microseconds: exact in both engines (float seconds
         # would round against the DuckDB epoch_us twin).  First event
         # per user carries -1, not NULL: a nullable BIGINT comes back
         # from the DuckDB twin as float64 and would flip the driver's
-        # dtype-sensitive value hash.
-        g = g.assign(
-            gap_us=(gap / pd.Timedelta(microseconds=1))
-            .fillna(-1.0)
-            .astype("int64")
-        )
-        return g[["event_id", "user_id", "gap_us"]]
+        # dtype-sensitive value hash.  Arrow/numpy run-boundary form
+        # (round 5: measured 37x the pandas groupby-diff per block —
+        # BENCH/BASELINE.md "window kernel formats"): the block is
+        # sorted by (user_id, ts, event_id), so a whole-column shifted
+        # diff + -1 at user-run starts IS the per-user lag.
+        if t.num_rows == 0:
+            return pa.table({"event_id": t.column("event_id"),
+                             "user_id": t.column("user_id"),
+                             "gap_us": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(len(ts), np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[np.flatnonzero(uid[1:] != uid[:-1]) + 1] = -1
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "gap_us": pa.array(gap, pa.int64())})
 
     return (
         ds.repartition(n_parts)
         .sort("user_id")
-        .map_batches(lag_gap, batch_size=None, batch_format="pandas")
+        .map_batches(lag_gap, batch_size=None, batch_format="pyarrow")
     )
 
 
@@ -357,21 +369,42 @@ def event_next_type_lead(sf_dir: str):
     )
     n_parts = ops.cluster_parts()
 
-    def lead(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        grp = g.groupby("user_id", sort=False)
-        nxt_ts = grp["ts"].shift(-1)
-        gap = (nxt_ts - g["ts"]) / pd.Timedelta(microseconds=1)
-        g = g.assign(
-            next_type=grp["event_type"].shift(-1).fillna(""),
-            next_gap_us=gap.fillna(-1.0).astype("int64"),
+    def lead(t: pa.Table) -> pa.Table:
+        # forward twin of lag_gap's run-boundary form: positions whose
+        # NEXT row starts a different user (or is past the end) carry
+        # ('', -1); everywhere else a shifted take answers both columns
+        if t.num_rows == 0:
+            return pa.table({"event_id": t.column("event_id"),
+                             "user_id": t.column("user_id"),
+                             "next_type": pa.array([], pa.string()),
+                             "next_gap_us": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        valid = np.ones(n, dtype=bool)
+        valid[-1] = False
+        valid[np.flatnonzero(uid[1:] != uid[:-1])] = False
+        gap = np.full(n, -1, dtype=np.int64)
+        gap[:-1] = np.where(valid[:-1], ts[1:] - ts[:-1], -1)
+        shift_idx = np.arange(1, n + 1, dtype=np.int64)
+        shift_idx[-1] = 0  # masked below
+        nxt = pc.fill_null(
+            pc.take(t.column("event_type"),
+                    pa.array(shift_idx, pa.int64(), mask=~valid)),
+            "",
         )
-        return g[["event_id", "user_id", "next_type", "next_gap_us"]]
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "next_type": nxt,
+                         "next_gap_us": pa.array(gap, pa.int64())})
 
     return (
         ds.repartition(n_parts)
         .sort("user_id")
-        .map_batches(lead, batch_size=None, batch_format="pandas")
+        .map_batches(lead, batch_size=None, batch_format="pyarrow")
     )
 
 
@@ -389,25 +422,42 @@ def first_last_order_per_customer(sf_dir: str):
     )
     n_parts = ops.cluster_parts()
 
-    def fl(g: pd.DataFrame) -> pd.DataFrame:
-        p2 = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
-            np.int64
-        )
-        g = g.assign(price_e2=p2)
-        g = g.sort_values(["o_custkey", "price_e2", "o_orderkey"],
-                          kind="mergesort")
-        grp = g.groupby("o_custkey", sort=False)
-        g = g.assign(
-            cheapest_order=grp["o_orderkey"].transform("first").astype("int64"),
-            priciest_order=grp["o_orderkey"].transform("last").astype("int64"),
-        )
-        return g[["o_orderkey", "o_custkey", "cheapest_order",
-                  "priciest_order"]]
+    def fl(t: pa.Table) -> pa.Table:
+        # run-boundary form (round 5, same measurement as lag_gap):
+        # after the (custkey, price_e2, orderkey) sort each customer is
+        # one contiguous run; first/last per run broadcast by repeat
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": t.column("o_orderkey"),
+                             "o_custkey": t.column("o_custkey"),
+                             "cheapest_order": pa.array([], pa.int64()),
+                             "priciest_order": pa.array([], pa.int64())})
+        p2 = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        t = t.append_column("price_e2", pa.array(p2, pa.int64()))
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("o_custkey", "ascending"),
+                          ("price_e2", "ascending"),
+                          ("o_orderkey", "ascending")]))
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = len(cust)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(cust[1:] != cust[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n])) - 1
+        counts = np.diff(np.concatenate((starts, [n])))
+        cheapest = np.repeat(okey[starts], counts).astype(np.int64)
+        priciest = np.repeat(okey[ends], counts).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "cheapest_order": pa.array(cheapest, pa.int64()),
+                         "priciest_order": pa.array(priciest, pa.int64())})
 
     return (
         ds.repartition(n_parts)
         .sort("o_custkey")
-        .map_batches(fl, batch_size=None, batch_format="pandas")
+        .map_batches(fl, batch_size=None, batch_format="pyarrow")
     )
 
 
