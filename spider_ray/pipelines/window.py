@@ -38,30 +38,55 @@ def sessionize_events(sf_dir: str):
     ds = ops.read_table(sf_dir, "events", columns=["user_id", "ts"])
     n_parts = ops.cluster_parts()
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"], kind="mergesort")
-        gap = g.groupby("user_id", sort=False)["ts"].diff()
-        is_new = (gap.isna() | (gap > pd.Timedelta(seconds=SESSION_GAP_S)))
-        sid = is_new.astype("int64").groupby(g["user_id"], sort=False).cumsum()
-        g = g.assign(session_id=sid.astype("int64"))
-        out = (
-            g.groupby(["user_id", "session_id"], sort=True)
-            .agg(
-                n_events=("ts", "size"),
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-            )
-            .reset_index()
+    def sessionize(t: pa.Table) -> pa.Table:
+        # run-boundary Arrow/numpy form (round 5, same measurement as
+        # lag_gap — BENCH/BASELINE.md "window kernel formats"): in the
+        # (user_id, ts) sort a session is a contiguous run delimited by
+        # the session-start positions (first event of a user, or gap
+        # over the threshold), so boundary indices answer every output
+        # column: count = boundary spacing, start/end = ts at the run's
+        # edges, session ordinal = per-user cumsum of starts.
+        if t.num_rows == 0:
+            return pa.table({"user_id": t.column("user_id"),
+                             "session_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "session_start": t.column("ts"),
+                             "session_end": t.column("ts")})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]))
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        is_new = np.empty(n, dtype=bool)
+        is_new[0] = True
+        # strict > threshold, exactly the pandas Timedelta comparison
+        is_new[1:] = (uid[1:] != uid[:-1]) | (
+            ts[1:] - ts[:-1] > SESSION_GAP_S * 1_000_000
         )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[
-            ["user_id", "session_id", "n_events", "session_start", "session_end"]
-        ]
+        bnd = np.flatnonzero(is_new)                  # session starts
+        ends = np.concatenate((bnd[1:], [n])) - 1     # session ends
+        counts = (ends - bnd + 1).astype(np.int64)
+        csum = np.cumsum(is_new.astype(np.int64))
+        ustart = np.empty(n, dtype=bool)
+        ustart[0] = True
+        ustart[1:] = uid[1:] != uid[:-1]
+        us = np.flatnonzero(ustart)
+        # sessions per preceding users subtracted -> per-user ordinal
+        per_user_base = np.repeat(csum[us] - 1, np.diff(
+            np.concatenate((us, [n]))))
+        sid = (csum - per_user_base)[bnd].astype(np.int64)
+        bidx = pa.array(bnd, pa.int64())
+        eidx = pa.array(ends, pa.int64())
+        return pa.table({"user_id": pc.take(t.column("user_id"), bidx),
+                         "session_id": pa.array(sid, pa.int64()),
+                         "n_events": pa.array(counts, pa.int64()),
+                         "session_start": pc.take(t.column("ts"), bidx),
+                         "session_end": pc.take(t.column("ts"), eidx)})
 
     return (
         ds.repartition(n_parts)
         .sort("user_id")
-        .map_batches(sessionize, batch_size=None, batch_format="pandas")
+        .map_batches(sessionize, batch_size=None, batch_format="pyarrow")
     )
 
 
