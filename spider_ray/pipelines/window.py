@@ -500,24 +500,39 @@ def rolling_sum_events(sf_dir: str, frame: int = 3):
     )
     n_parts = ops.cluster_parts()
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        v2 = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        g = g.assign(_v2=v2)
-        s = (
-            g.groupby("user_id", sort=False)["_v2"]
-            .rolling(frame, min_periods=1)
-            .sum()
-            .reset_index(level=0, drop=True)
-            .astype("int64")
-        )
-        g = g.assign(roll_value_e2=s)
-        return g[["event_id", "user_id", "roll_value_e2"]]
+    def roll(t: pa.Table) -> pa.Table:
+        # run-boundary prefix-sum form (round 5, BENCH/BASELINE.md
+        # "window kernel formats"): frame sum = Cp[i+1] - Cp[lo] with
+        # lo clamped to the user-run start — one cumsum, no pandas
+        # rolling object per group
+        if t.num_rows == 0:
+            return pa.table({"event_id": t.column("event_id"),
+                             "user_id": t.column("user_id"),
+                             "roll_value_e2": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        v2 = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        n = len(v2)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [n])))
+        rstart = np.repeat(starts, counts)
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(idx - (frame - 1), rstart)
+        cp = np.concatenate(([0], np.cumsum(v2)))
+        out = (cp[idx + 1] - cp[lo]).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "roll_value_e2": pa.array(out, pa.int64())})
 
     return (
         ds.repartition(n_parts)
         .sort("user_id")
-        .map_batches(roll, batch_size=None, batch_format="pandas")
+        .map_batches(roll, batch_size=None, batch_format="pyarrow")
     )
 
 
@@ -540,32 +555,46 @@ def events_range_window_1h(sf_dir: str, frame_us: int = _RANGE_FRAME_US):
     )
     n_parts = ops.cluster_parts()
 
-    def frame_agg(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"], kind="mergesort")
-        us = g["ts"].astype("int64").to_numpy()
-        uid = g["user_id"].to_numpy(np.int64)
-        v2 = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    def frame_agg(t: pa.Table) -> pa.Table:
+        # pyarrow batch (round 5): the kernel was already pure numpy —
+        # only the container changed; the per-USER searchsorted loop
+        # stays (ts is sorted within runs, not globally, and the loop
+        # is O(users/block) binary searches, not per-row work)
+        if t.num_rows == 0:
+            return pa.table({"event_id": t.column("event_id"),
+                             "user_id": t.column("user_id"),
+                             "n_1h": pa.array([], pa.int64()),
+                             "sum_value_e2_1h": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]))
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        v2 = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
         csum = np.concatenate(([0], np.cumsum(v2)))
-        n_out = np.empty(len(g), np.int64)
-        s_out = np.empty(len(g), np.int64)
+        n = len(us)
+        n_out = np.empty(n, np.int64)
+        s_out = np.empty(n, np.int64)
         starts = np.flatnonzero(
             np.concatenate(([True], uid[1:] != uid[:-1]))
         )
-        ends = np.append(starts[1:], len(g))
+        ends = np.append(starts[1:], n)
         for s, e in zip(starts, ends):
             seg = us[s:e]
             lo = s + np.searchsorted(seg, seg - frame_us, side="left")
             hi = s + np.searchsorted(seg, seg, side="right")
             n_out[s:e] = hi - lo
             s_out[s:e] = csum[hi] - csum[lo]
-        return g.assign(n_1h=n_out, sum_value_e2_1h=s_out)[
-            ["event_id", "user_id", "n_1h", "sum_value_e2_1h"]
-        ]
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "n_1h": pa.array(n_out, pa.int64()),
+                         "sum_value_e2_1h": pa.array(s_out, pa.int64())})
 
     return (
         ds.repartition(n_parts)
         .sort("user_id")
-        .map_batches(frame_agg, batch_size=None, batch_format="pandas")
+        .map_batches(frame_agg, batch_size=None, batch_format="pyarrow")
     )
 
 
@@ -580,29 +609,48 @@ def rank_orders_per_customer(sf_dir: str):
     )
     n_parts = ops.cluster_parts()
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        p2 = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
-            np.int64
-        )
-        g = g.assign(price_e2=p2)
-        g = g.sort_values(
-            ["o_custkey", "price_e2", "o_orderkey"],
-            ascending=[True, False, True],
-            kind="mergesort",
-        )
-        grp = g.groupby("o_custkey", sort=False)
-        g = g.assign(
-            rn=grp.cumcount().astype("int64") + 1,
-            dr=grp["price_e2"]
-            .transform(lambda s: s.ne(s.shift()).cumsum())
-            .astype("int64"),
-        )
-        return g[["o_orderkey", "o_custkey", "rn", "dr"]]
+    def rank(t: pa.Table) -> pa.Table:
+        # run-boundary form (round 5): row_number = offset inside the
+        # customer run; dense_rank = per-run cumsum of price-change
+        # flags — replaces a transform(lambda) that ran a PYTHON
+        # callable per customer group
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": t.column("o_orderkey"),
+                             "o_custkey": t.column("o_custkey"),
+                             "rn": pa.array([], pa.int64()),
+                             "dr": pa.array([], pa.int64())})
+        p2 = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        t = t.append_column("price_e2", pa.array(p2, pa.int64()))
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("o_custkey", "ascending"),
+                          ("price_e2", "descending"),
+                          ("o_orderkey", "ascending")]))
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        price = t.column("price_e2").to_numpy(zero_copy_only=False)
+        n = len(cust)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = cust[1:] != cust[:-1]
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.concatenate((starts, [n])))
+        rstart = np.repeat(starts, counts)
+        rn = (np.arange(n, dtype=np.int64) - rstart + 1).astype(np.int64)
+        chg = new_run.copy()
+        chg[1:] |= price[1:] != price[:-1]
+        cc = np.cumsum(chg.astype(np.int64))
+        dr = (cc - np.repeat(cc[starts] - 1, counts)).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey"),
+                         "rn": pa.array(rn, pa.int64()),
+                         "dr": pa.array(dr, pa.int64())})
 
     return (
         ds.repartition(n_parts)
         .sort("o_custkey")
-        .map_batches(rank, batch_size=None, batch_format="pandas")
+        .map_batches(rank, batch_size=None, batch_format="pyarrow")
     )
 
 
