@@ -144,14 +144,27 @@ def trap_reasons_batch(
     out = np.zeros(n, dtype=np.int8)
     if n == 0:
         return out
-    pqs = s.str.replace(_SCHEME_HOST, "", regex=True)
+    # LENGTH decided first (cheapest, highest precedence) so the regex
+    # prefilter below never scans a remote-controlled overlong URL:
+    # over-cap rows are TRAP_LENGTH by precedence whatever their path
+    # looks like, and skipping them bounds every later kernel's input
+    # to max_url_len bytes (adversarial-input discipline, SURVEY App F
+    # round-4e; timing pinned in tests/test_traps.py)
+    length = (s.str.len() > max_url_len).to_numpy()
+    out[length] = TRAP_LENGTH
+    inb = ~length
+    if not inb.any():
+        return out
+    pqs = s[inb].str.replace(_SCHEME_HOST, "", regex=True)
     split = pqs.str.split("?", n=1)
     path = split.str[0]
     # NaN where no '?' -> '' (keeps the string dtype when NO row has a
     # query; '' also matches the kernel's falsy-empty-query semantics)
     query = split.str[1].fillna("")
+    inb_idx = np.flatnonzero(inb)
     # rows needing the exact kernel (possible REPEAT)
-    confirm = path.str.contains(_REPEAT_PRE, regex=True).to_numpy()
+    confirm = np.zeros(n, dtype=bool)
+    confirm[inb_idx] = path.str.contains(_REPEAT_PRE, regex=True).to_numpy()
     if confirm.any():
         idx = np.flatnonzero(confirm)
         vals = s.to_numpy()
@@ -160,16 +173,16 @@ def trap_reasons_batch(
                 vals[i], max_url_len, max_path_depth,
                 max_segment_repeats, max_query_params,
             )
-    clean = ~confirm
-    # precedence on REPEAT-clean rows: LENGTH > DEPTH > PARAMS
-    length = (s.str.len() > max_url_len).to_numpy() & clean
-    out[length] = TRAP_LENGTH
-    rest = clean & ~length
-    depth = (path.str.count(r"/[^/]") > max_path_depth).to_numpy() & rest
+    # precedence on the remaining in-bound rows: DEPTH > PARAMS
+    rest = inb & ~confirm
+    depth = np.zeros(n, dtype=bool)
+    depth[inb_idx] = (path.str.count(r"/[^/]") > max_path_depth).to_numpy()
+    depth &= rest
     out[depth] = TRAP_DEPTH
     rest &= ~depth
     # '?'-with-empty-query rows carry no params (kernel: '' is falsy)
     nonempty = (query.str.len() > 0).to_numpy()
-    nparams = (query.str.count("&") + 1).to_numpy() * nonempty
+    nparams = np.zeros(n, dtype=np.int64)
+    nparams[inb_idx] = (query.str.count("&") + 1).to_numpy() * nonempty
     out[rest & (nparams > max_query_params)] = TRAP_PARAMS
     return out

@@ -115,6 +115,43 @@ def test_vectorized_twin_tight_thresholds():
     assert (expect == got).all()
 
 
+def test_adversarial_timing_bounded():
+    """Remote-controlled URLs must never make the batch path
+    super-linear: overlong URLs (1 MB of pathological path shapes)
+    are decided by the LENGTH rule BEFORE any regex touches them, and
+    in-bound (<= max_url_len) adversarial repeat-bait stays fast."""
+    import time
+
+    mb = 1_000_000
+    monsters = [
+        U + "/" + "a" * mb,                       # one giant segment
+        U + "/a" * (mb // 2),                     # maximal segment count
+        U + "/ab" * (mb // 3),                    # repeat-bait pairs
+        U + ("/" + "a" * 300 + "/" + "a" * 300) * (mb // 1200),
+    ]
+    t0 = time.perf_counter()
+    got = trap_reasons_batch(monsters)
+    el = time.perf_counter() - t0
+    assert (got == TRAP_LENGTH).all()
+    assert el < 0.5, f"overlong-url fast path took {el:.2f}s"
+    # in-bound bait: worst shapes that fit under the length cap
+    bait = []
+    for i in range(2000):
+        if i % 3 == 0:
+            bait.append(U + "/ab" * 300)          # pair bait, no trip
+        elif i % 3 == 1:
+            bait.append(U + "/" + "a" * 500 + "/" + "a" * 500)
+        else:
+            bait.append(U + "/x/y" * 250)
+    t0 = time.perf_counter()
+    out = trap_reasons_batch(bait)
+    el = time.perf_counter() - t0
+    assert el < 2.0, f"in-bound adversarial batch took {el:.2f}s"
+    # and the answers still equal the kernel's
+    expect = np.array([trap_reason(u) for u in bait], dtype=np.int8)
+    assert (out == expect).all()
+
+
 def test_vectorized_empty_and_rootless():
     assert trap_reasons_batch([]).size == 0
     got = trap_reasons_batch(["https://x.example", f"{U}/"])
