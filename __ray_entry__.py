@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.pipelines.relational import QUERIES
     from spider_ray.pipelines.sketch import SKETCH_QUERIES
     from spider_ray.pipelines.textstats import TEXT_QUERIES
+    from spider_ray.pipelines.webgraph import WEBGRAPH_QUERIES
     from spider_ray.pipelines.window import WINDOW_QUERIES
 
     # flagship FIRST: r03's gate recorded exactly the first 50
@@ -359,14 +360,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_trap_guard"] = _crawl_trap_guard
     names = _gate_order(
         QUERIES, WINDOW_QUERIES, SKETCH_QUERIES, TEXT_QUERIES,
-        DEDUP_QUERIES, GRAPH_QUERIES, FREQ_QUERIES, ANN_QUERIES,
-        MULTIMODAL_QUERIES,
+        DEDUP_QUERIES, GRAPH_QUERIES, WEBGRAPH_QUERIES, FREQ_QUERIES,
+        ANN_QUERIES, MULTIMODAL_QUERIES,
     )
     k = _gate_rotation(len(names))
     for name in names[k:] + names[:k]:
         for fam in (QUERIES, WINDOW_QUERIES, SKETCH_QUERIES, TEXT_QUERIES,
-                    DEDUP_QUERIES, GRAPH_QUERIES, FREQ_QUERIES, ANN_QUERIES,
-                    MULTIMODAL_QUERIES):
+                    DEDUP_QUERIES, GRAPH_QUERIES, WEBGRAPH_QUERIES,
+                    FREQ_QUERIES, ANN_QUERIES, MULTIMODAL_QUERIES):
             if name in fam:
                 out[name] = fam[name]
                 break
@@ -435,7 +436,8 @@ _GATE_HEADS: list[str] = [
     "ann_bruteforce_topk", "ann_ivf_topk", "semdedup_embeddings",
     "kmeans_embeddings",
     # graph / freq
-    "pagerank_order_part", "bfs_hops_order_part", "heavy_hitters_terms",
+    "pagerank_order_part", "bfs_hops_order_part", "host_link_graph",
+    "host_pagerank", "heavy_hitters_terms",
     "text_index_search",
     # multimodal plumbing
     "decode_media_fake", "frame_sample_media",
@@ -475,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
     from spider_ray.pipelines.relational import ORACLE_SQL
     from spider_ray.pipelines.sketch import SKETCH_ORACLE_SQL
     from spider_ray.pipelines.textstats import TEXT_ORACLE_SQL
+    from spider_ray.pipelines.webgraph import WEBGRAPH_ORACLE_SQL
     from spider_ray.pipelines.window import WINDOW_ORACLE_SQL
 
     # pinned sequential-simulator goldens for the crawl queries (see
@@ -507,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(TEXT_ORACLE_SQL)
     out.update(DEDUP_ORACLE_SQL)
     out.update(GRAPH_ORACLE_SQL)
+    out.update(WEBGRAPH_ORACLE_SQL)
     out.update(FREQ_ORACLE_SQL)
     out.update(ANN_ORACLE_SQL)
     out.update(MULTIMODAL_ORACLE_SQL)

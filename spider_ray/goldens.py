@@ -581,6 +581,79 @@ def crawl_trap_guard_golden() -> pa.Table:
     })
 
 
+def _host_edges_reference() -> dict:
+    """Host-pair href-occurrence counts of the micro corpus, parsed
+    with the STDLIB HTMLParser reference extractor — deliberately NOT
+    the engine's fast scanner, so the webgraph goldens are a
+    differential check on the scanner as well as on the pipeline
+    (engine twin: spider_ray/pipelines/webgraph.py)."""
+    import shutil
+    import tempfile
+
+    from spider_ray.core.canon import canonicalize
+    from spider_ray.core.extract import extract_text_and_links_reference
+    from spider_ray.core.scope import split_host_pq
+    from spider_ray.fixtures.gen import generate
+
+    tmp = tempfile.mkdtemp(prefix="spider_ray_goldens_")
+    try:
+        generate("micro", tmp)
+        t = pq.read_table(os.path.join(tmp, "pages.parquet"),
+                          columns=["url", "html"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    counts: dict = {}
+    for url, html in zip(t.column("url").to_pylist(),
+                         t.column("html").to_pylist()):
+        cu = canonicalize(url)
+        if cu is None:
+            continue
+        src, _ = split_host_pq(cu)
+        for href in extract_text_and_links_reference(html)[1]:
+            child = canonicalize(href, base=url)
+            if child is None:
+                continue
+            dst, _ = split_host_pq(child)
+            counts[(src, dst)] = counts.get((src, dst), 0) + 1
+    return counts
+
+
+def host_link_graph_golden() -> pa.Table:
+    """(src_host, dst_host, n) of the micro corpus, sorted by pair."""
+    rows = sorted(_host_edges_reference().items())
+    return pa.table({
+        "src_host": pa.array([k[0] for k, _ in rows], pa.string()),
+        "dst_host": pa.array([k[1] for k, _ in rows], pa.string()),
+        "n": pa.array([n for _, n in rows], pa.int64()),
+    })
+
+
+def host_pagerank_golden() -> pa.Table:
+    """Integer fixed-point PageRank (millionths, damping 85/100, 5
+    supersteps, dangling mass dropped) over the distinct self-loop-free
+    host edges — plain dict arithmetic, one superstep at a time."""
+    edges = sorted({k for k in _host_edges_reference() if k[0] != k[1]})
+    out: dict = {}
+    nodes: set = set()
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+        nodes.add(s)
+        nodes.add(d)
+    pr = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        incoming = {n: 0 for n in nodes}
+        for s, dsts in out.items():
+            share = pr[s] // len(dsts)
+            for d in dsts:
+                incoming[d] += share
+        pr = {n: 150_000 + (85 * incoming[n]) // 100 for n in nodes}
+    rows = sorted(pr.items())
+    return pa.table({
+        "node": pa.array([n for n, _ in rows], pa.string()),
+        "pr": pa.array([p for _, p in rows], pa.int64()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "chunk_documents_bpe": chunk_bpe_golden,
@@ -597,6 +670,8 @@ GOLDENS = {
     "crawl_continuous": crawl_continuous_golden,
     "crawl_archive": crawl_archive_golden,
     "crawl_trap_guard": crawl_trap_guard_golden,
+    "host_link_graph": host_link_graph_golden,
+    "host_pagerank": host_pagerank_golden,
 }
 
 

@@ -1,0 +1,218 @@
+"""Web link-graph analytics over the crawl corpus (webtext family).
+
+The crawl engine's own corpus IS a graph: every page's <a href> set is
+an edge list.  This module derives the host-level link graph from the
+pages table and runs authority analytics on it — the signals a real
+crawler feeds back into frontier prioritization (SURVEY.md §2
+extension; the "domain-rate + depth" priority key of T4 is exactly
+where a host authority score would plug in).
+
+Two pinned operators, both driver-gate-visible with sequential
+goldens (spider_ray/goldens.py):
+
+* ``host_link_graph`` — (src_host, dst_host, n): one row per directed
+  host pair, n = number of href occurrences (multi-edges counted).
+  Engine: pruned (url, html) read -> per-document extract kernel in
+  ``map_batches`` (the same two-speed scanner the crawl's M7/M8 stage
+  uses) -> one bounded=False partial-sum shuffle on the host pair.
+  The golden twin parses with the STDLIB HTMLParser reference
+  extractor, so engine scanner and oracle parser are differential by
+  construction.
+* ``host_pagerank`` — (host, pr): integer fixed-point PageRank
+  (millionths, damping 85/100, 5 supersteps) over the DISTINCT
+  self-loop-free host edges.  Same Pregel shape as
+  graph.pagerank_order_part: one co-partitioned join + one
+  partial-aggregated groupby per superstep, nothing data-sized on the
+  driver.  Hosts with no in-links keep the base rank via a
+  zero-contribution row per node unioned into every superstep's sum
+  (never a driver-side fixup).  Dangling hosts (no out-links) drop
+  their mass — pinned simplification, mirrored by the golden.
+
+Scale shape: at 100 TB the pages read streams (column-pruned to
+url+html), the extract map is embarrassingly parallel, and the only
+exchanges are the (src,dst)-keyed aggregation and the per-superstep
+join/agg pair — each moving one row per edge/node.  Host cardinality
+(~10^8) stays distributed end-to-end.
+
+Like the crawl_* queries, both entries ignore ``sf_dir``: the driver's
+TPC-H tables carry no pages corpus, so the deterministic micro fixture
+is the pinned input (BASELINE.json input_hint shape).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from spider_ray import ops
+from spider_ray.goldens import golden_sql
+from spider_ray.core.canon import canonicalize
+from spider_ray.core.extract import extract_links
+from spider_ray.core.scope import split_host_pq
+
+PR_ITERATIONS = 5
+PR_INIT = 1_000_000
+PR_BASE = 150_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+_FIXTURE = "/tmp/spider_ray_entry/fixture_micro"
+
+
+def _ensure_micro_fixture(path: str = _FIXTURE) -> str:
+    """Same cache + staleness sentinel as __ray_entry__ (pages_v2 is
+    the newest generated artifact)."""
+    import shutil
+
+    from spider_ray.fixtures.gen import generate
+
+    if not os.path.exists(os.path.join(path, "pages_v2.parquet")):
+        shutil.rmtree(path, ignore_errors=True)
+        generate("micro", path)
+    return path
+
+
+def _page_host_edges(urls: list[str], htmls: list[bytes],
+                     links_of) -> tuple[list[str], list[str]]:
+    """Shared per-page edge kernel: (src_hosts, dst_hosts) with one
+    entry per canonicalizable href occurrence.  ``links_of`` is the
+    href extractor — the fast scanner in the engine, the stdlib
+    reference parser in the golden."""
+    srcs: list[str] = []
+    dsts: list[str] = []
+    for url, html in zip(urls, htmls):
+        cu = canonicalize(url)
+        if cu is None:  # corpus urls are canonical; defensive only
+            continue
+        src_host, _ = split_host_pq(cu)
+        for href in links_of(html):
+            child = canonicalize(href, base=url)
+            if child is None:
+                continue
+            dst_host, _ = split_host_pq(child)
+            srcs.append(src_host)
+            dsts.append(dst_host)
+    return srcs, dsts
+
+
+def host_link_graph(sf_dir: str):
+    """Directed host-level link graph of the micro corpus:
+    (src_host, dst_host, n) sorted by the pair."""
+    fixture = _ensure_micro_fixture()
+    pages = ray.data.read_parquet(
+        os.path.join(fixture, "pages.parquet"), columns=["url", "html"]
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        srcs, dsts = _page_host_edges(
+            t.column("url").to_pylist(), t.column("html").to_pylist(),
+            extract_links,
+        )
+        return pa.table({
+            "src_host": pa.array(srcs, pa.string()),
+            "dst_host": pa.array(dsts, pa.string()),
+        })
+
+    counted = ops.partial_sum_agg(
+        pages.map_batches(edges, batch_format="pyarrow"),
+        keys=["src_host", "dst_host"], sums={}, counts="n",
+        bounded=False,  # host-pair domain is data-sized
+    )
+    return counted.sort(["src_host", "dst_host"])
+
+
+def host_pagerank(sf_dir: str, iterations: int = PR_ITERATIONS):
+    """Integer fixed-point PageRank over the distinct self-loop-free
+    host edges of the micro corpus: (host, pr) sorted by host."""
+    edges_all = host_link_graph(sf_dir)
+
+    def distinct_no_loops(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("src_host"), t.column("dst_host"))
+        t = t.filter(keep)
+        return pa.table({"src": t.column("src_host"),
+                         "dst": t.column("dst_host")})
+
+    # host_link_graph output is already one row per distinct pair
+    edges = edges_all.map_batches(distinct_no_loops,
+                                  batch_format="pyarrow")
+    deg = ops.partial_sum_agg(
+        edges, keys=["src"], sums={}, counts="d", bounded=False
+    )
+    edges_deg = ops.partitioned_hash_join(edges, deg, on="src")\
+        .materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            t.select(["src"]).rename_columns(["node"]),
+            t.select(["dst"]).rename_columns(["node"]),
+        ])
+
+    nodes = ops.partial_sum_agg(
+        edges.map_batches(both_ends, batch_format="pyarrow"),
+        keys=["node"], sums={}, counts="_n", bounded=False,
+    ).map_batches(
+        lambda t: pa.table({"node": t.column("node")}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"),
+             "pr": pa.array(np.full(len(t), PR_INIT, np.int64))}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table(
+            {"dst": t.column("node"),
+             "c": pa.array(np.zeros(len(t), np.int64))}),
+        batch_format="pyarrow",
+    )
+
+    for _ in range(iterations):
+        sends = ops.partitioned_hash_join(
+            edges_deg,
+            ranks.map_batches(
+                lambda t: t.rename_columns(["src", "pr"]),
+                batch_format="pyarrow"),
+            on="src",
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            pr = t.column("pr").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            return pa.table({"dst": t.column("dst"),
+                             "c": pa.array(pr // d)})
+
+        sums = ops.partial_sum_agg(
+            sends.map_batches(contrib, batch_format="pyarrow")
+                 .union(zero_rows),
+            keys=["dst"], sums={"c": "s"}, counts=None, bounded=False,
+        )
+        ranks = sums.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("dst"),
+                 "pr": pa.array(
+                     PR_BASE
+                     + (PR_DAMP_NUM
+                        * t.column("s").to_numpy(zero_copy_only=False))
+                     // PR_DAMP_DEN)}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return ranks.sort("node")
+
+
+WEBGRAPH_QUERIES = {
+    "host_link_graph": host_link_graph,
+    "host_pagerank": host_pagerank,
+}
+
+WEBGRAPH_ORACLE_SQL = {
+    "host_link_graph": golden_sql("host_link_graph",
+                                  "src_host, dst_host, n"),
+    "host_pagerank": golden_sql("host_pagerank", "node, pr"),
+}
