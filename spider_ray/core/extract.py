@@ -65,21 +65,48 @@ BLOCK_TAGS = frozenset(
 
 
 class _Extractor(HTMLParser):
-    """One pass over the document collecting text pieces and hrefs."""
+    """One pass over the document collecting text pieces, hrefs, and
+    per-href anchor piece spans.
+
+    Anchor-span spec (shared verbatim with the fast scanner, A.8):
+    ``spans[k]`` is the half-open ``pieces`` index range of the text
+    between link k's ``<a href>`` start event and the FIRST subsequent
+    ``</a>`` end event or ``<a>`` start event (anchors never nest —
+    any new ``<a>``, href or not, closes the open one), else EOF.  A
+    self-closing ``<a href .../>`` gets an empty span.  Skip-subtree
+    suppression applies to the PIECES (as everywhere), so an anchor
+    inside <noscript> keeps its href (stdlib event order) and has
+    empty text."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.pieces: list[str] = []
         self.links: list[str] = []
+        self.spans: list[tuple[int, int]] = []
+        self._open_k: int | None = None
         self._skip_depth = 0
+
+    def _close_anchor(self) -> None:
+        if self._open_k is not None:
+            s, _ = self.spans[self._open_k]
+            self.spans[self._open_k] = (s, len(self.pieces))
+            self._open_k = None
+
+    def _start_anchor(self, attrs, selfclosing: bool) -> None:
+        self._close_anchor()
+        for k, v in attrs:
+            if k == "href" and v is not None:
+                self.links.append(v)
+                at = len(self.pieces)
+                self.spans.append((at, at if selfclosing else -1))
+                if not selfclosing:
+                    self._open_k = len(self.spans) - 1
+                break
 
     # -- tag handling ---------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "a":
-            for k, v in attrs:
-                if k == "href" and v is not None:
-                    self.links.append(v)
-                    break
+            self._start_anchor(attrs, selfclosing=False)
         if tag in SKIP_TAGS:
             self._skip_depth += 1
             return
@@ -89,10 +116,7 @@ class _Extractor(HTMLParser):
     def handle_startendtag(self, tag: str, attrs) -> None:
         # <br/> and friends: treat as open+close at once
         if tag == "a":
-            for k, v in attrs:
-                if k == "href" and v is not None:
-                    self.links.append(v)
-                    break
+            self._start_anchor(attrs, selfclosing=True)
         if tag in SKIP_TAGS:
             return  # empty skip subtree
         if self._skip_depth == 0 and tag in BLOCK_TAGS:
@@ -100,6 +124,8 @@ class _Extractor(HTMLParser):
             self.pieces.append("\n")
 
     def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._close_anchor()
         if tag in SKIP_TAGS:
             if self._skip_depth > 0:
                 self._skip_depth -= 1
@@ -119,6 +145,7 @@ def _parse(html: bytes | str) -> _Extractor:
     p = _Extractor()
     p.feed(html)
     p.close()
+    p._close_anchor()  # unterminated at EOF: span runs to the end
     return p
 
 
@@ -289,7 +316,7 @@ _ANY_TAG = re.compile(
 )
 
 
-def _scan(html: str) -> tuple[list[str], list[str]]:
+def _scan(html: str) -> tuple[list[str], list[str], list[tuple[int, int]]]:
     """One pass -> (text pieces, hrefs), HTMLParser-equivalent.
 
     Three speeds, exact at each: (1) ``_SEG`` consumes a whole run of
@@ -309,6 +336,8 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
     fast-must-not-raise."""
     pieces: list[str] = []
     links: list[str] = []
+    spans: list[tuple[int, int]] = []  # per-link anchor piece ranges (A.8)
+    open_k = -1  # index into spans of the open anchor, -1 = none
     append = pieces.append
     skip_depth = 0
     n = len(html)
@@ -318,13 +347,37 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
     ws_sub = _ws_collapse  # ASCII fast path, regex fallback
 
     def flush_eof(at: int) -> None:
-        # any construct unterminated at EOF: HTMLParser flushes the
-        # remainder (from its '<') as character data at close()
+        # construct unterminated at EOF with NO '>' in the remainder:
+        # HTMLParser iteratively flushes '<'-delimited chunks as data
+        # at close(); with no '>' anywhere every chunk is flat data, so
+        # one flush of the whole remainder is equivalent (entities
+        # never span the '<' chunk boundaries)
         if skip_depth == 0 and at < n:
             data = html[at:]
             if "&" in data:
                 data = _unescape(data)
             append(ws_sub(data))
+
+    def bogus_flush(at: int) -> int:
+        # stdlib goahead incomplete-construct path at close(): flush
+        # THROUGH the next '>' (else to the next '<', else one char)
+        # as unescaped data, then RESUME parsing — an unterminated
+        # comment/marked section does NOT swallow the document tail
+        # (divergence found by the round-5 anchor fuzz: the '-->'/']>'
+        # search failing says nothing about later plain '>'s)
+        k = find(">", at + 1)
+        if k < 0:
+            k = find("<", at + 1)
+            if k < 0:
+                k = at + 1
+        else:
+            k += 1
+        if skip_depth == 0:
+            data = html[at:k]
+            if "&" in data:
+                data = _unescape(data)
+            append(ws_sub(data))
+        return k
 
     seg_match = _SEG.match
     seg_split = _SEG_SPLIT.split
@@ -407,6 +460,9 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
         elif lg == "cname":
             tag = m.group("cname").lower()
             pos = m.end()
+            if tag == "a" and open_k >= 0:
+                spans[open_k] = (spans[open_k][0], len(pieces))
+                open_k = -1
             if tag in SKIP_TAGS:
                 if skip_depth > 0:
                     skip_depth -= 1
@@ -434,6 +490,9 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                         continue
                     tag = tm.group(0).lower()
                     pos = gt + 1
+                if tag == "a" and open_k >= 0:
+                    spans[open_k] = (spans[open_k][0], len(pieces))
+                    open_k = -1
                 if tag in SKIP_TAGS:
                     if skip_depth > 0:
                         skip_depth -= 1
@@ -444,8 +503,8 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                 if html.startswith("<!--", pos):
                     end = find("-->", pos + 4)
                     if end == -1:
-                        flush_eof(pos)
-                        break
+                        pos = bogus_flush(pos)
+                        continue
                     pos = end + 3
                 elif html.startswith("<![", pos):
                     sm = _MS_NAME_RE.match(html, pos + 3)
@@ -453,8 +512,8 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
                     rx = _MS_CLOSE2 if sect in _MS_BRACKETED else _MS_CLOSE1
                     cm = rx.search(html, pos + 3)
                     if cm is None:
-                        flush_eof(pos)
-                        break
+                        pos = bogus_flush(pos)
+                        continue
                     pos = cm.end()
                 else:
                     gt = find(">", pos)
@@ -528,9 +587,37 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
 
         # ---- shared start-tag tail (fast and careful paths) ---------
         if tag == "a":
+            if open_k >= 0:  # anchors never nest: a new <a> closes
+                spans[open_k] = (spans[open_k][0], len(pieces))
+                open_k = -1
             v = _find_href(html, attrs_start, attrs_end)
             if v is not None:
+                if (not selfclose and attrs_end > attrs_start
+                        and html[attrs_end - 1] == "/"):
+                    # _TOK's attr-NAME grammar can absorb a '/' that
+                    # directly precedes '>' (<a download/>), where the
+                    # stdlib walk leaves it as the '/>' marker — the
+                    # one spot TOK's selfclose verdict can differ.
+                    # Recompute with the faithful attrfind walk
+                    # (irrelevant to text/links; anchors spans only).
+                    # walk bounds INCLUDE the '>' so the delimiter's
+                    # /(?!>) lookahead can see it (truncating at the
+                    # '/' makes the lookahead vacuously succeed and
+                    # the walk eat the marker); every walk component
+                    # itself stops at '>'
+                    k = _DELIM_SKIP.match(html, attrs_start,
+                                          attrs_end + 1).end()
+                    while k < attrs_end:
+                        am = _ATTRFIND.match(html, k, attrs_end + 1)
+                        if am is None or am.end() == k:
+                            break
+                        k = am.end()
+                    selfclose = k == attrs_end - 1
                 links.append(v)
+                at = len(pieces)
+                spans.append((at, at if selfclose else -1))
+                if not selfclose:
+                    open_k = len(spans) - 1
         if selfclose:
             if tag not in SKIP_TAGS and skip_depth == 0 and tag in BLOCK_TAGS:
                 append("\n")
@@ -556,10 +643,18 @@ def _scan(html: str) -> tuple[list[str], list[str]]:
             continue
         if skip_depth == 0 and tag in BLOCK_TAGS:
             append("\n")
-    return pieces, links
+    if open_k >= 0:  # unterminated at EOF: span runs to the end
+        spans[open_k] = (spans[open_k][0], len(pieces))
+    return pieces, links, spans
 
 
 def _pieces_links(html: bytes | str) -> tuple[list[str], list[str]]:
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    return _scan(html)[:2]
+
+
+def _scan_full(html: bytes | str):
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     return _scan(html)
@@ -603,3 +698,34 @@ def extract_text_and_links_reference(html: bytes | str) -> tuple[str, list[str]]
     twin of the fast scanner; SURVEY.md A.6 rule source)."""
     p = _parse(html)
     return _finish(p.pieces), p.links
+
+
+# -- anchor text (A.8) ------------------------------------------------------
+
+ANCHOR_MAX_CHARS = 256
+
+
+def _anchor_text(span_pieces: list[str]) -> str:
+    """Pinned anchor normalization: the document-text finish rules,
+    then single-line (block newlines inside the anchor become spaces),
+    capped at ANCHOR_MAX_CHARS (remote-controlled content)."""
+    t = _finish(span_pieces)
+    if "\n" in t:
+        t = t.replace("\n", " ")
+    return t[:ANCHOR_MAX_CHARS]
+
+
+def extract_anchors(html: bytes | str) -> list[tuple[str, str]]:
+    """[(raw href, normalized anchor text)] per <a href>, in document
+    order — same href set as extract_links (fast-scanner path)."""
+    pieces, links, spans = _scan_full(html)
+    return [(links[k], _anchor_text(pieces[s:e]))
+            for k, (s, e) in enumerate(spans)]
+
+
+def extract_anchors_reference(html: bytes | str) -> list[tuple[str, str]]:
+    """stdlib-HTMLParser twin of extract_anchors (differential-test
+    pair; also the webgraph golden's parser)."""
+    p = _parse(html)
+    return [(p.links[k], _anchor_text(p.pieces[s:e]))
+            for k, (s, e) in enumerate(p.spans)]

@@ -654,6 +654,40 @@ def host_pagerank_golden() -> pa.Table:
     })
 
 
+def anchor_texts_golden() -> pa.Table:
+    """(dst_url, anchor_text, n): in-link anchor texts per canonical
+    target of the micro corpus, stdlib reference parser (engine twin:
+    webgraph.anchor_texts with the fast scanner's A.8 span path)."""
+    import shutil
+    import tempfile
+
+    from spider_ray.core.canon import canonicalize
+    from spider_ray.core.extract import extract_anchors_reference
+    from spider_ray.fixtures.gen import generate
+
+    tmp = tempfile.mkdtemp(prefix="spider_ray_goldens_")
+    try:
+        generate("micro", tmp)
+        t = pq.read_table(os.path.join(tmp, "pages.parquet"),
+                          columns=["url", "html"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    counts: dict = {}
+    for url, html in zip(t.column("url").to_pylist(),
+                         t.column("html").to_pylist()):
+        for href, text in extract_anchors_reference(html):
+            child = canonicalize(href, base=url)
+            if child is None:
+                continue
+            counts[(child, text)] = counts.get((child, text), 0) + 1
+    rows = sorted(counts.items())
+    return pa.table({
+        "dst_url": pa.array([k[0] for k, _ in rows], pa.string()),
+        "anchor_text": pa.array([k[1] for k, _ in rows], pa.string()),
+        "n": pa.array([n for _, n in rows], pa.int64()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "chunk_documents_bpe": chunk_bpe_golden,
@@ -672,6 +706,7 @@ GOLDENS = {
     "crawl_trap_guard": crawl_trap_guard_golden,
     "host_link_graph": host_link_graph_golden,
     "host_pagerank": host_pagerank_golden,
+    "anchor_texts": anchor_texts_golden,
 }
 
 

@@ -49,10 +49,10 @@ import pyarrow.compute as pc
 import ray.data
 
 from spider_ray import ops
-from spider_ray.goldens import golden_sql
 from spider_ray.core.canon import canonicalize
-from spider_ray.core.extract import extract_links
+from spider_ray.core.extract import extract_anchors, extract_links
 from spider_ray.core.scope import split_host_pq
+from spider_ray.goldens import golden_sql
 
 PR_ITERATIONS = 5
 PR_INIT = 1_000_000
@@ -206,13 +206,58 @@ def host_pagerank(sf_dir: str, iterations: int = PR_ITERATIONS):
     return ranks.sort("node")
 
 
+def anchor_texts(sf_dir: str):
+    """In-link anchor-text aggregation — the classic web relevance
+    signal: for every canonical link target, the texts pages link to
+    it WITH, counted.  (dst_url, anchor_text, n) sorted by the pair;
+    empty anchors (image links, self-closed <a>) are kept — absence of
+    text is itself signal.
+
+    Engine: per-document ``extract_anchors`` kernel (the fast
+    scanner's A.8 span path) in ``map_batches`` -> ONE pair-keyed
+    bounded=False partial-sum shuffle.  The anchor kernel caps each
+    text at 256 chars, so shuffle row width is bounded by spec, not by
+    remote-controlled content.  Golden twin parses with the stdlib
+    reference extractor (differential by construction)."""
+    fixture = _ensure_micro_fixture()
+    pages = ray.data.read_parquet(
+        os.path.join(fixture, "pages.parquet"), columns=["url", "html"]
+    )
+
+    def rows(t: pa.Table) -> pa.Table:
+        dsts: list[str] = []
+        texts: list[str] = []
+        for url, html in zip(t.column("url").to_pylist(),
+                             t.column("html").to_pylist()):
+            for href, text in extract_anchors(html):
+                child = canonicalize(href, base=url)
+                if child is None:
+                    continue
+                dsts.append(child)
+                texts.append(text)
+        return pa.table({
+            "dst_url": pa.array(dsts, pa.string()),
+            "anchor_text": pa.array(texts, pa.string()),
+        })
+
+    counted = ops.partial_sum_agg(
+        pages.map_batches(rows, batch_format="pyarrow"),
+        keys=["dst_url", "anchor_text"], sums={}, counts="n",
+        bounded=False,  # (url, text) domain is data-sized
+    )
+    return counted.sort(["dst_url", "anchor_text"])
+
+
 WEBGRAPH_QUERIES = {
     "host_link_graph": host_link_graph,
     "host_pagerank": host_pagerank,
+    "anchor_texts": anchor_texts,
 }
 
 WEBGRAPH_ORACLE_SQL = {
     "host_link_graph": golden_sql("host_link_graph",
                                   "src_host, dst_host, n"),
     "host_pagerank": golden_sql("host_pagerank", "node, pr"),
+    "anchor_texts": golden_sql("anchor_texts",
+                               "dst_url, anchor_text, n"),
 }

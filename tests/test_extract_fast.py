@@ -11,6 +11,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from spider_ray.core.extract import (
+    extract_anchors,
+    extract_anchors_reference,
     extract_text_and_links,
     extract_text_and_links_reference,
 )
@@ -88,18 +90,39 @@ ADVERSARIAL = [
     "<div a=b\"c>bare quote in unquoted value",
     "<em x=a<p> y>",
     "=a'b<div <div class=\"a b\" id='z'>=a'b<h1>T</h1>",
+    # unterminated comment / marked section with a LATER plain '>':
+    # stdlib flushes through the next '>' and RESUMES parsing; the
+    # pre-round-5 scanner swallowed the document tail instead (found
+    # by the anchor-extraction fuzz; bogus_flush is the fix)
+    "<!-- c <p>x</p> tail",
+    "<![CDATA[ x <p>y</p> tail",
+    "<!-- c &amp; <p>x</p> tail",
+    "<!-- c <a href=/l>anchor</a>",
+    "<a href=/k>t<!-- c <p>u</p> v",
+    "<noscript><!-- c > </noscript>after",
+    "</xyz <nop",
+    # '/' directly before '>' absorbed by _TOK's attr-name grammar
+    # where the stdlib walk reads it as the '/>' marker — selfclose
+    # verdicts differed, visible only through anchor spans
+    "<a href=/x download/>text",
+    "unterminated <a href=\"x\" at eof</>empty endtag",
+    "<a href=/x foo/ >text</a>",
+    "<a href=x //>t",
 ]
 
 
 def _assert_equiv(html: str) -> None:
     try:
         ref = extract_text_and_links_reference(html)
+        ref_anchors = extract_anchors_reference(html)
     except (AssertionError, NotImplementedError):
         # stdlib HTMLParser raises on unknown marked sections; the fast
         # scanner must survive them instead (documented divergence)
         extract_text_and_links(html)
+        extract_anchors(html)
         return
     assert extract_text_and_links(html) == ref, repr(html)
+    assert extract_anchors(html) == ref_anchors, repr(html)
 
 
 @pytest.mark.parametrize("idx", range(len(ADVERSARIAL)))
@@ -120,6 +143,7 @@ def test_fixture_pages_equivalence(micro_fixture):
         ref = extract_text_and_links_reference(html)
         assert fast == ref
         assert fast[0] == want_text  # corpus text column stays valid
+        assert extract_anchors(html) == extract_anchors_reference(html)
 
 
 _tag_bits = st.sampled_from(
@@ -177,6 +201,40 @@ _soup_atom = st.one_of(
 @given(st.lists(_soup_atom, max_size=25).map("".join))
 def test_soup_equivalence(html):
     _assert_equiv(html)
+
+
+def test_anchor_semantics_pinned():
+    """A.8 anchor-span rules, pinned case by case (both paths already
+    differentially equal via _assert_equiv; this pins the SPEC)."""
+    cases = [
+        ("<a href=\"/x\">hello <b>w</b></a> tail", [("/x", "hello w")]),
+        # a new <a> (href or not) closes the open anchor
+        ("<a href=\"/1\">one<a href=\"/2\">two</a>", [("/1", "one"), ("/2", "two")]),
+        ("<a href=\"/1\">one<a>cut</a>", [("/1", "one")]),
+        # self-closing anchor: empty text
+        ("<a href=\"/x\"/>after", [("/x", "")]),
+        # unterminated at EOF: text runs to the end
+        ("<a href=\"/x\">to eof", [("/x", "to eof")]),
+        # skip subtree: href kept (stdlib event order), text suppressed
+        ("<noscript><a href=\"/s\">gone</a></noscript>", [("/s", "")]),
+        # block newlines inside the anchor become single spaces
+        ("<a href=\"/x\"><p>a</p><p>b</p></a>", [("/x", "a b")]),
+        # raw-text subtree inside the anchor contributes nothing
+        ("<a href=\"/x\">v<script>'</a>'</script>w</a>", [("/x", "vw")]),
+        ("no anchors <p>here</p>", []),
+    ]
+    for html, want in cases:
+        assert extract_anchors(html) == want, repr(html)
+        assert extract_anchors_reference(html) == want, repr(html)
+
+
+def test_anchor_text_capped():
+    from spider_ray.core.extract import ANCHOR_MAX_CHARS
+
+    html = "<a href=\"/x\">" + "y" * (ANCHOR_MAX_CHARS * 4) + "</a>"
+    [(href, text)] = extract_anchors(html)
+    assert len(text) == ANCHOR_MAX_CHARS
+    assert extract_anchors_reference(html) == [(href, text)]
 
 
 def test_adversarial_inputs_terminate_fast():
