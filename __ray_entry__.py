@@ -437,7 +437,8 @@ _GATE_HEADS: list[str] = [
     "kmeans_embeddings",
     # graph / freq
     "pagerank_order_part", "bfs_hops_order_part", "host_link_graph",
-    "host_pagerank", "anchor_texts", "heavy_hitters_terms",
+    "host_pagerank", "anchor_texts", "canonical_clusters",
+    "heavy_hitters_terms",
     "text_index_search",
     # multimodal plumbing
     "decode_media_fake", "frame_sample_media",

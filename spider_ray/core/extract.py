@@ -729,3 +729,50 @@ def extract_anchors_reference(html: bytes | str) -> list[tuple[str, str]]:
     p = _parse(html)
     return [(p.links[k], _anchor_text(p.pieces[s:e]))
             for k, (s, e) in enumerate(p.spans)]
+
+
+# -- rel=canonical (A.9) ----------------------------------------------------
+
+class _CanonicalFound(Exception):
+    pass
+
+
+class _CanonicalParser(HTMLParser):
+    """First <link> whose rel token list contains 'canonical' (HTML
+    rel is a case-insensitive, whitespace-separated token set) and
+    that carries a non-None href.  NOT on the crawl hot path (the fast
+    scanner treats <link> as a boring tag); runs in the canonical-
+    cluster pipeline's actor pool, where stdlib speed parallelizes."""
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag != "link":
+            return
+        rel = href = None
+        for k, v in attrs:
+            if k == "rel" and rel is None:
+                rel = v
+            elif k == "href" and href is None:
+                href = v
+        if (rel is not None and href is not None
+                and "canonical" in rel.lower().split()):
+            raise _CanonicalFound(href)
+
+    handle_startendtag = handle_starttag
+
+
+def extract_canonical(html: bytes | str) -> str | None:
+    """Raw href of the document's first rel=canonical <link>, else
+    None.  Shared by the engine pipeline and the sequential golden
+    (the links.py shared-kernel pattern; the pipeline-level check is
+    the distributed-vs-sequential differential)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _CanonicalParser(convert_charrefs=True)
+    try:
+        p.feed(html)
+        p.close()
+    except _CanonicalFound as hit:
+        return hit.args[0]
+    except (AssertionError, NotImplementedError):
+        return None  # stdlib raises on unknown marked sections
+    return None

@@ -353,6 +353,45 @@ def inject_trap_links(src_dir: str, dst_dir: str, every: int = 7) -> str:
     return dst_dir
 
 
+def inject_canonical_links(src_dir: str, dst_dir: str,
+                           every: int = 5) -> str:
+    """Derive a canonical-annotated fixture: every ``every``-th page
+    (by table row order, which generation pins) declares a
+    ``<link rel="canonical">`` in its head, pointing at the page at
+    row ``k - (k % (3*every))`` — rows at multiples of ``3*every``
+    therefore self-canonicalize.  Deterministic; shared by the golden
+    generator (goldens.canonical_clusters_golden), the harness query
+    and the webgraph tests.  Text is recomputed with the shared
+    kernel (a <link> emits no text, so it is byte-unchanged — the
+    recompute keeps the invariant by construction, not by argument)."""
+    import shutil
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in ("config.json", "robots.parquet", "seeds.parquet"):
+        shutil.copy(os.path.join(src_dir, name), os.path.join(dst_dir, name))
+    pages = pq.read_table(os.path.join(src_dir, "pages.parquet"))
+    urls = pages.column("url").to_pylist()
+    htmls = pages.column("html").to_pylist()
+    texts = pages.column("text").to_pylist()
+    for k in range(0, len(htmls), every):
+        target = urls[k - (k % (3 * every))]
+        tag = f'<link rel="canonical" href="{target}">'.encode()
+        htmls[k] = htmls[k].replace(b"<head>", b"<head>" + tag, 1)
+        texts[k] = extract_text(htmls[k])
+    out = pa.table(
+        {
+            "url": pages.column("url"),
+            "warc_ts": pages.column("warc_ts"),
+            "html": pa.array(htmls, pages.schema.field("html").type),
+            "text": pa.array(texts, pages.schema.field("text").type),
+            "lang": pages.column("lang"),
+        },
+        schema=pages.schema,
+    )
+    pq.write_table(out, os.path.join(dst_dir, "pages.parquet"))
+    return dst_dir
+
+
 def main() -> None:
     import argparse
 

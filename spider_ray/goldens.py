@@ -688,6 +688,43 @@ def anchor_texts_golden() -> pa.Table:
     })
 
 
+def canonical_clusters_golden() -> pa.Table:
+    """(canonical_url, n_pages, first_url) over the canonical-annotated
+    micro fixture — sequential dict loop (engine twin:
+    webgraph.canonical_clusters, distributed multi-algebra fold)."""
+    import shutil
+    import tempfile
+
+    from spider_ray.core.canon import canonicalize
+    from spider_ray.core.extract import extract_canonical
+    from spider_ray.fixtures.gen import generate, inject_canonical_links
+
+    tmp = tempfile.mkdtemp(prefix="spider_ray_goldens_")
+    try:
+        generate("micro", os.path.join(tmp, "base"))
+        fix = inject_canonical_links(os.path.join(tmp, "base"),
+                                     os.path.join(tmp, "canon"))
+        t = pq.read_table(os.path.join(fix, "pages.parquet"),
+                          columns=["url", "html"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    clusters: dict = {}
+    for url, html in zip(t.column("url").to_pylist(),
+                         t.column("html").to_pylist()):
+        href = extract_canonical(html)
+        target = canonicalize(href, base=url) if href is not None else None
+        if target is None:
+            target = canonicalize(url) or url
+        n, first = clusters.get(target, (0, url))
+        clusters[target] = (n + 1, min(first, url))
+    rows = sorted(clusters.items())
+    return pa.table({
+        "canonical_url": pa.array([k for k, _ in rows], pa.string()),
+        "n_pages": pa.array([v[0] for _, v in rows], pa.int64()),
+        "first_url": pa.array([v[1] for _, v in rows], pa.string()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "chunk_documents_bpe": chunk_bpe_golden,
@@ -707,6 +744,7 @@ GOLDENS = {
     "host_link_graph": host_link_graph_golden,
     "host_pagerank": host_pagerank_golden,
     "anchor_texts": anchor_texts_golden,
+    "canonical_clusters": canonical_clusters_golden,
 }
 
 

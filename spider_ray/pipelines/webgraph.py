@@ -248,10 +248,67 @@ def anchor_texts(sf_dir: str):
     return counted.sort(["dst_url", "anchor_text"])
 
 
+def _resolve_canonical(url: str, html) -> str:
+    """Pinned cluster key: the page's rel=canonical href canonicalized
+    against the page URL; the page's own canonical form when the tag
+    is absent or its href unresolvable."""
+    from spider_ray.core.extract import extract_canonical
+
+    href = extract_canonical(html)
+    if href is not None:
+        target = canonicalize(href, base=url)
+        if target is not None:
+            return target
+    return canonicalize(url) or url
+
+
+def canonical_clusters(sf_dir: str):
+    """rel=canonical duplicate clustering — the crawl-side dedup
+    signal sites themselves publish: pages declaring the same
+    canonical target are one logical document.  Output one row per
+    cluster: (canonical_url, n_pages, first_url = lexicographic min
+    member).
+
+    Engine: per-document extract_canonical kernel in ``map_batches``
+    over the canonical-annotated micro fixture (derived via
+    fixtures.gen.inject_canonical_links) -> ONE bounded=False
+    multi-algebra shuffle (count + string-min in the same partial
+    fold).  Golden twin: sequential dict loop over the same derived
+    corpus (goldens.canonical_clusters_golden)."""
+    base = _ensure_micro_fixture()
+    fixture = "/tmp/spider_ray_entry/fixture_canon"
+    if not os.path.exists(os.path.join(fixture, "pages.parquet")):
+        from spider_ray.fixtures.gen import inject_canonical_links
+
+        inject_canonical_links(base, fixture)
+    pages = ray.data.read_parquet(
+        os.path.join(fixture, "pages.parquet"), columns=["url", "html"]
+    )
+
+    def rows(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        return pa.table({
+            "canonical_url": pa.array(
+                [_resolve_canonical(u, h)
+                 for u, h in zip(urls, t.column("html").to_pylist())],
+                pa.string()),
+            "url": pa.array(urls, pa.string()),
+        })
+
+    agg = ops.partial_sum_agg(
+        pages.map_batches(rows, batch_format="pyarrow"),
+        keys=["canonical_url"], sums={}, counts="n_pages",
+        mins={"url": "first_url"},
+        bounded=False,  # cluster-key domain is data-sized
+    )
+    return agg.sort("canonical_url")
+
+
 WEBGRAPH_QUERIES = {
     "host_link_graph": host_link_graph,
     "host_pagerank": host_pagerank,
     "anchor_texts": anchor_texts,
+    "canonical_clusters": canonical_clusters,
 }
 
 WEBGRAPH_ORACLE_SQL = {
@@ -260,4 +317,6 @@ WEBGRAPH_ORACLE_SQL = {
     "host_pagerank": golden_sql("host_pagerank", "node, pr"),
     "anchor_texts": golden_sql("anchor_texts",
                                "dst_url, anchor_text, n"),
+    "canonical_clusters": golden_sql("canonical_clusters",
+                                     "canonical_url, n_pages, first_url"),
 }

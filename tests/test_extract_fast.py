@@ -237,6 +237,28 @@ def test_anchor_text_capped():
     assert extract_anchors_reference(html) == [(href, text)]
 
 
+def test_extract_canonical_pinned():
+    from spider_ray.core.extract import extract_canonical
+
+    cases = [
+        ('<head><link rel="canonical" href="/c"></head>', "/c"),
+        ('<link rel="CANONICAL" href="/c">', "/c"),          # rel case
+        ('<link rel="alternate canonical" href="/c">', "/c"),  # token list
+        ('<link rel="canonicalish" href="/c">', None),       # not a token
+        ('<link rel="canonical">', None),                    # no href
+        ('<link href="/c" rel="canonical">', "/c"),          # attr order
+        ('<link rel="canonical" href="/a">'
+         '<link rel="canonical" href="/b">', "/a"),          # first wins
+        ('<link rel="stylesheet" href="/s">'
+         '<link rel="canonical" href="/c">', "/c"),
+        ('<link rel="canonical" href="/c"/>', "/c"),         # self-closing
+        ("<p>no links at all</p>", None),
+        ('<a href="/not-a-link-tag">x</a>', None),
+    ]
+    for html, want in cases:
+        assert extract_canonical(html) == want, repr(html)
+
+
 def test_adversarial_inputs_terminate_fast():
     """Crawl html is remote-controlled: unterminated tags with
     ambiguous attr splits must not make the scanner backtrack
