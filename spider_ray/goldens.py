@@ -725,6 +725,25 @@ def canonical_clusters_golden() -> pa.Table:
     })
 
 
+def url_list_golden() -> pa.Table:
+    """The micro corpus url column, pinned as an INPUT parquet: the
+    url_templates oracle is a COMPUTING DuckDB twin (regexp_replace +
+    GROUP BY) over this list, not a pinned result table."""
+    import shutil
+    import tempfile
+
+    from spider_ray.fixtures.gen import generate
+
+    tmp = tempfile.mkdtemp(prefix="spider_ray_goldens_")
+    try:
+        generate("micro", tmp)
+        t = pq.read_table(os.path.join(tmp, "pages.parquet"),
+                          columns=["url"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return t.sort_by("url")
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "chunk_documents_bpe": chunk_bpe_golden,
@@ -745,6 +764,7 @@ GOLDENS = {
     "host_pagerank": host_pagerank_golden,
     "anchor_texts": anchor_texts_golden,
     "canonical_clusters": canonical_clusters_golden,
+    "url_list": url_list_golden,
 }
 
 

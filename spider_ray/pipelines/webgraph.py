@@ -42,6 +42,7 @@ is the pinned input (BASELINE.json input_hint shape).
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -304,11 +305,47 @@ def canonical_clusters(sf_dir: str):
     return agg.sort("canonical_url")
 
 
+_TEMPLATE_DIGITS = re.compile(r"[0-9]+")
+
+
+def url_templates(sf_dir: str):
+    """URL template mining — collapse every digit run to ``{n}`` and
+    count occurrences: surfaces the parametric page families
+    (/product/{n}, site{n}.example/page/{n}) a crawler uses for
+    scheduling and trap heuristics.  (template, n) sorted by template.
+
+    Engine: pruned single-column url read -> compiled-regex vectorized
+    map -> ONE bounded=False template-keyed shuffle.  Oracle: a REAL
+    computing DuckDB twin — ``regexp_replace(..., 'g') GROUP BY`` over
+    the pinned url_list golden parquet (same deterministic url set the
+    corpus generator emits), not a pinned result table."""
+    fixture = _ensure_micro_fixture()
+    pages = ray.data.read_parquet(
+        os.path.join(fixture, "pages.parquet"), columns=["url"]
+    )
+
+    def templ(t: pa.Table) -> pa.Table:
+        sub = _TEMPLATE_DIGITS.sub
+        return pa.table({
+            "template": pa.array(
+                [sub("{n}", u) for u in t.column("url").to_pylist()],
+                pa.string()),
+        })
+
+    counted = ops.partial_sum_agg(
+        pages.map_batches(templ, batch_format="pyarrow"),
+        keys=["template"], sums={}, counts="n",
+        bounded=False,  # template domain is data-sized
+    )
+    return counted.sort("template")
+
+
 WEBGRAPH_QUERIES = {
     "host_link_graph": host_link_graph,
     "host_pagerank": host_pagerank,
     "anchor_texts": anchor_texts,
     "canonical_clusters": canonical_clusters,
+    "url_templates": url_templates,
 }
 
 WEBGRAPH_ORACLE_SQL = {
@@ -319,4 +356,13 @@ WEBGRAPH_ORACLE_SQL = {
                                "dst_url, anchor_text, n"),
     "canonical_clusters": golden_sql("canonical_clusters",
                                      "canonical_url, n_pages, first_url"),
+    # computing twin: DuckDB re-derives the templates from the pinned
+    # url LIST (not a pinned result) — RE2 and python re agree on the
+    # digit-run pattern by construction
+    "url_templates": (
+        "SELECT regexp_replace(url, '[0-9]+', '{n}', 'g') AS template, "
+        "COUNT(*) AS n FROM ("
+        + golden_sql("url_list")
+        + ") GROUP BY template"
+    ),
 }
