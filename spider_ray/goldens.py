@@ -744,6 +744,52 @@ def url_list_golden() -> pa.Table:
     return t.sort_by("url")
 
 
+def host_components_golden() -> pa.Table:
+    """(host, component_host) — weakly-connected components of the
+    stdlib-parsed host edge set by sequential union-find;
+    representative = member with minimal signed-int64 A.2 hash (engine
+    twin: webgraph.host_components, distributed min-label
+    propagation over the same id space)."""
+    from spider_ray.core.hashing import url_hash64
+
+    def id64(host: str) -> int:
+        h = url_hash64(host)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    edges = sorted(_host_edges_reference())
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    hosts: set = set()
+    for s, d in edges:
+        hosts.add(s)
+        hosts.add(d)
+    for h in hosts:
+        parent[h] = h
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    comp: dict = {}
+    for h in hosts:
+        comp.setdefault(find(h), []).append(h)
+    rows = []
+    for members in comp.values():
+        rep = min(members, key=lambda h: (id64(h), h))
+        for h in members:
+            rows.append((h, rep))
+    rows.sort()
+    return pa.table({
+        "host": pa.array([r[0] for r in rows], pa.string()),
+        "component_host": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "chunk_documents_bpe": chunk_bpe_golden,
@@ -765,6 +811,7 @@ GOLDENS = {
     "anchor_texts": anchor_texts_golden,
     "canonical_clusters": canonical_clusters_golden,
     "url_list": url_list_golden,
+    "host_components": host_components_golden,
 }
 
 

@@ -340,12 +340,88 @@ def url_templates(sf_dir: str):
     return counted.sort("template")
 
 
+def _host_id64(host: str) -> int:
+    """Signed-int64 view of the A.2 sha1-based 64-bit hash — the node
+    id space for host connected components (CC propagates min labels
+    over int64; signed view keeps engine and golden min()s identical).
+    Collisions (~n²/2⁶⁴) would merge two hosts; at 10⁸ hosts that is
+    ~10⁻³ expected collisions — documented, and the same id space the
+    seen-set already relies on."""
+    from spider_ray.core.hashing import url_hash64
+
+    h = url_hash64(host)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def host_components(sf_dir: str):
+    """Weakly-connected components of the host link graph — the
+    site-neighborhood structure (link farms, language clusters,
+    isolated islands) a crawl operator audits.  Output one row per
+    host: (host, component_host) where component_host is the member
+    whose A.2 hash64 is minimal — a content-derived representative,
+    stable under repartition/resume.
+
+    Engine: hosts hashed to int64 ids, ops.connected_components
+    min-label propagation (one join + one partial-min fold per sweep,
+    sweeps = component diameter), then ONE tagged co-partition join
+    maps both id columns back to host strings.  Golden twin:
+    sequential union-find over the stdlib-parsed edge set
+    (goldens.host_components_golden)."""
+    edges_all = host_link_graph(sf_dir)
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array([_host_id64(h) for h in
+                             t.column("src_host").to_pylist()],
+                            pa.int64()),
+            "dst": pa.array([_host_id64(h) for h in
+                             t.column("dst_host").to_pylist()],
+                            pa.int64()),
+        })
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            t.select(["src_host"]).rename_columns(["host"]),
+            t.select(["dst_host"]).rename_columns(["host"]),
+        ])
+
+    edges = edges_all.map_batches(to_ids, batch_format="pyarrow")
+    hosts = ops.exact_dedup(
+        edges_all.map_batches(to_nodes, batch_format="pyarrow"),
+        keys=["host"], order_by=[],
+    ).map_batches(
+        lambda t: pa.table({
+            "host": t.column("host"),
+            "node": pa.array([_host_id64(h) for h in
+                              t.column("host").to_pylist()], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    cc = ops.connected_components(edges, hosts)
+    # map node -> host and label -> host in one co-partitioned join
+    # each (both sides small per-key; the label side joins the same
+    # hosts table on its id column)
+    cc_host = ops.partitioned_hash_join(cc, hosts, on="node")
+    rep = hosts.map_batches(
+        lambda t: pa.table({"label": t.column("node"),
+                            "component_host": t.column("host")}),
+        batch_format="pyarrow",
+    )
+    out = ops.partitioned_hash_join(cc_host, rep, on="label")
+    return out.map_batches(
+        lambda t: t.select(["host", "component_host"]),
+        batch_format="pyarrow",
+    ).sort("host")
+
+
 WEBGRAPH_QUERIES = {
     "host_link_graph": host_link_graph,
     "host_pagerank": host_pagerank,
     "anchor_texts": anchor_texts,
     "canonical_clusters": canonical_clusters,
     "url_templates": url_templates,
+    "host_components": host_components,
 }
 
 WEBGRAPH_ORACLE_SQL = {
@@ -365,4 +441,6 @@ WEBGRAPH_ORACLE_SQL = {
         + golden_sql("url_list")
         + ") GROUP BY template"
     ),
+    "host_components": golden_sql("host_components",
+                                  "host, component_host"),
 }
