@@ -58,15 +58,10 @@ def _ensure_worker_importable() -> None:
 
 
 def _ensure_micro_fixture(path: str = _ENTRY_FIXTURE) -> str:
-    import shutil
+    # single shared cache-validity rule (fixtures.gen owns it)
+    from spider_ray.fixtures.gen import ensure_micro_fixture
 
-    from spider_ray.fixtures.gen import generate
-
-    # pages_v2 is the newest artifact — its absence means a stale cache
-    if not os.path.exists(os.path.join(path, "pages_v2.parquet")):
-        shutil.rmtree(path, ignore_errors=True)
-        generate("micro", path)
-    return path
+    return ensure_micro_fixture(path)
 
 
 def entry() -> Any:
@@ -274,12 +269,12 @@ def _crawl_trap_guard(sf_dir: str) -> Any:
     import pyarrow.parquet as pq
 
     _ensure_worker_importable()
-    from spider_ray.fixtures.gen import inject_trap_links
+    from spider_ray.fixtures.gen import (ensure_derived_fixture,
+                                         inject_trap_links)
 
     base = _ensure_micro_fixture()
-    fixture = "/tmp/spider_ray_entry/fixture_traps"
-    if not os.path.exists(os.path.join(fixture, "pages.parquet")):
-        inject_trap_links(base, fixture)
+    fixture = ensure_derived_fixture(
+        base, "/tmp/spider_ray_entry/fixture_traps", inject_trap_links)
     ckpt = "/tmp/spider_ray_entry/ckpt_traps"
     done = os.path.join(ckpt, "_traps_done")
     if not os.path.exists(done):

@@ -211,6 +211,9 @@ _CDATA_CLOSE = {
 _MS_NAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
 _MS_CLOSE2 = re.compile(r"]\s*]\s*>")
 _MS_CLOSE1 = re.compile(r"]\s*>")
+# stdlib _markupbase._commentclose: whitespace may sit between the
+# '--' and the '>' ('<!-- c -- >' IS a terminated comment)
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 _MS_BRACKETED = frozenset(("temp", "cdata", "ignore", "include", "rcdata"))
 
 
@@ -501,11 +504,11 @@ def _scan(html: str) -> tuple[list[str], list[str], list[tuple[int, int]]]:
                 continue
             if nxt == "!":
                 if html.startswith("<!--", pos):
-                    end = find("-->", pos + 4)
-                    if end == -1:
+                    cm = _COMMENT_CLOSE.search(html, pos + 4)
+                    if cm is None:
                         pos = bogus_flush(pos)
                         continue
-                    pos = end + 3
+                    pos = cm.end()
                 elif html.startswith("<![", pos):
                     sm = _MS_NAME_RE.match(html, pos + 3)
                     sect = sm.group(0).lower() if sm else ""
@@ -586,33 +589,35 @@ def _scan(html: str) -> tuple[list[str], list[str], list[tuple[int, int]]]:
                 continue
 
         # ---- shared start-tag tail (fast and careful paths) ---------
+        if (not selfclose and attrs_end > attrs_start
+                and html[attrs_end - 1] == "/"):
+            # _TOK's attr-NAME grammar can absorb a '/' that directly
+            # precedes '>' (<script defer/>, <a download/>), where
+            # the stdlib walk leaves it as the '/>' marker.  The
+            # verdict matters for EVERY selfclose-sensitive tag — a
+            # misread skip tag opens a subtree that swallows the rest
+            # of the document — so recompute with the faithful
+            # attrfind walk whenever the trigger shape appears (rare;
+            # a '/' after a quoted value or whitespace is caught by
+            # _TOK's own sc group).  Walk bounds INCLUDE the '>' so
+            # the delimiter's /(?!>) lookahead can see it (truncating
+            # at the '/' makes the lookahead vacuously succeed and
+            # the walk eat the marker); every walk component itself
+            # stops at '>'.
+            k = _DELIM_SKIP.match(html, attrs_start,
+                                  attrs_end + 1).end()
+            while k < attrs_end:
+                am = _ATTRFIND.match(html, k, attrs_end + 1)
+                if am is None or am.end() == k:
+                    break
+                k = am.end()
+            selfclose = k == attrs_end - 1
         if tag == "a":
             if open_k >= 0:  # anchors never nest: a new <a> closes
                 spans[open_k] = (spans[open_k][0], len(pieces))
                 open_k = -1
             v = _find_href(html, attrs_start, attrs_end)
             if v is not None:
-                if (not selfclose and attrs_end > attrs_start
-                        and html[attrs_end - 1] == "/"):
-                    # _TOK's attr-NAME grammar can absorb a '/' that
-                    # directly precedes '>' (<a download/>), where the
-                    # stdlib walk leaves it as the '/>' marker — the
-                    # one spot TOK's selfclose verdict can differ.
-                    # Recompute with the faithful attrfind walk
-                    # (irrelevant to text/links; anchors spans only).
-                    # walk bounds INCLUDE the '>' so the delimiter's
-                    # /(?!>) lookahead can see it (truncating at the
-                    # '/' makes the lookahead vacuously succeed and
-                    # the walk eat the marker); every walk component
-                    # itself stops at '>'
-                    k = _DELIM_SKIP.match(html, attrs_start,
-                                          attrs_end + 1).end()
-                    while k < attrs_end:
-                        am = _ATTRFIND.match(html, k, attrs_end + 1)
-                        if am is None or am.end() == k:
-                            break
-                        k = am.end()
-                    selfclose = k == attrs_end - 1
                 links.append(v)
                 at = len(pieces)
                 spans.append((at, at if selfclose else -1))

@@ -392,6 +392,42 @@ def inject_canonical_links(src_dir: str, dst_dir: str,
     return dst_dir
 
 
+_ENTRY_FIXTURE = "/tmp/spider_ray_entry/fixture_micro"
+
+
+def ensure_micro_fixture(path: str = _ENTRY_FIXTURE) -> str:
+    """ONE cache-validity rule for the shared micro-fixture cache
+    (previously duplicated in __ray_entry__ and pipelines.webgraph —
+    a drifted copy would feed different corpora to crawl vs webgraph
+    queries in the same run).  pages_v2 is the newest generated
+    artifact; its absence means a stale or partial cache."""
+    import shutil
+
+    if not os.path.exists(os.path.join(path, "pages_v2.parquet")):
+        shutil.rmtree(path, ignore_errors=True)
+        generate("micro", path)
+    return path
+
+
+def ensure_derived_fixture(base_dir: str, dst_dir: str, derive) -> str:
+    """Cache a derived fixture (trap/canonical injection) with a
+    completion sentinel written AFTER ``derive`` finishes: re-derive
+    when the sentinel is missing (crash mid-write left a partial
+    corpus) or older than the base pages table (base regenerated —
+    a bare pages.parquet existence check passed stale caches)."""
+    import shutil
+
+    sent = os.path.join(dst_dir, "_derived")
+    base_pages = os.path.join(base_dir, "pages.parquet")
+    if (not os.path.exists(sent)
+            or os.path.getmtime(sent) < os.path.getmtime(base_pages)):
+        shutil.rmtree(dst_dir, ignore_errors=True)
+        derive(base_dir, dst_dir)
+        with open(sent, "w") as f:
+            f.write("ok")
+    return dst_dir
+
+
 def main() -> None:
     import argparse
 

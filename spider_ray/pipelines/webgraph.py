@@ -60,20 +60,10 @@ PR_INIT = 1_000_000
 PR_BASE = 150_000
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 
-_FIXTURE = "/tmp/spider_ray_entry/fixture_micro"
+def _ensure_micro_fixture() -> str:
+    from spider_ray.fixtures.gen import ensure_micro_fixture
 
-
-def _ensure_micro_fixture(path: str = _FIXTURE) -> str:
-    """Same cache + staleness sentinel as __ray_entry__ (pages_v2 is
-    the newest generated artifact)."""
-    import shutil
-
-    from spider_ray.fixtures.gen import generate
-
-    if not os.path.exists(os.path.join(path, "pages_v2.parquet")):
-        shutil.rmtree(path, ignore_errors=True)
-        generate("micro", path)
-    return path
+    return ensure_micro_fixture()
 
 
 def _page_host_edges(urls: list[str], htmls: list[bytes],
@@ -136,9 +126,11 @@ def host_pagerank(sf_dir: str, iterations: int = PR_ITERATIONS):
         return pa.table({"src": t.column("src_host"),
                          "dst": t.column("dst_host")})
 
-    # host_link_graph output is already one row per distinct pair
+    # host_link_graph output is already one row per distinct pair;
+    # materialized: three consumers (deg, the edges_deg join, the
+    # node derivation) would each re-run the full corpus extract
     edges = edges_all.map_batches(distinct_no_loops,
-                                  batch_format="pyarrow")
+                                  batch_format="pyarrow").materialize()
     deg = ops.partial_sum_agg(
         edges, keys=["src"], sums={}, counts="d", bounded=False
     )
@@ -276,12 +268,13 @@ def canonical_clusters(sf_dir: str):
     multi-algebra shuffle (count + string-min in the same partial
     fold).  Golden twin: sequential dict loop over the same derived
     corpus (goldens.canonical_clusters_golden)."""
-    base = _ensure_micro_fixture()
-    fixture = "/tmp/spider_ray_entry/fixture_canon"
-    if not os.path.exists(os.path.join(fixture, "pages.parquet")):
-        from spider_ray.fixtures.gen import inject_canonical_links
+    from spider_ray.fixtures.gen import (ensure_derived_fixture,
+                                         inject_canonical_links)
 
-        inject_canonical_links(base, fixture)
+    base = _ensure_micro_fixture()
+    fixture = ensure_derived_fixture(
+        base, "/tmp/spider_ray_entry/fixture_canon",
+        inject_canonical_links)
     pages = ray.data.read_parquet(
         os.path.join(fixture, "pages.parquet"), columns=["url", "html"]
     )
@@ -367,7 +360,9 @@ def host_components(sf_dir: str):
     maps both id columns back to host strings.  Golden twin:
     sequential union-find over the stdlib-parsed edge set
     (goldens.host_components_golden)."""
-    edges_all = host_link_graph(sf_dir)
+    # materialized: both the id projection and the node derivation
+    # consume it — unmaterialized, each re-runs the corpus extract
+    edges_all = host_link_graph(sf_dir).materialize()
 
     def to_ids(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -108,6 +108,17 @@ ADVERSARIAL = [
     "unterminated <a href=\"x\" at eof</>empty endtag",
     "<a href=/x foo/ >text</a>",
     "<a href=x //>t",
+    # same absorbed-'/' shape on SKIP tags: a misread selfclose opened
+    # a skip subtree that swallowed the document tail (review finding)
+    "<script defer/>visible text",
+    "<noscript foo/>text",
+    "<template hidden/>shown",
+    "<script src=x/>v",
+    # stdlib closes comments on --\s*> , not the literal '-->'
+    "<!-- c -- >after",
+    "<a href=/x>t<!-- c -- >u</a>",
+    "<!-- c --\t\n>after",
+    "<!-- c --->x",
 ]
 
 
