@@ -58,6 +58,11 @@ def main() -> None:
     ap.add_argument("--sitemap-depth", type=int, default=0,
                     help="max_depth for sitemap-discovered seeds "
                          "(0 = exactly the listed pages)")
+    ap.add_argument("--seeds-from-robots", action="store_true",
+                    help="discover seeds from robots.txt Sitemap: "
+                         "directives (fixture robots bodies -> "
+                         "advertised sitemaps under <fixture>/sitemaps/ "
+                         "-> their urls); honors --sitemap-depth")
     ap.add_argument("--trap-guard", action="store_true",
                     help="drop structurally trap-shaped candidate urls "
                          "(repeated path segments, runaway depth/length, "
@@ -118,6 +123,16 @@ def main() -> None:
                 raise SystemExit(f"--sitemaps {args.sitemaps}: no urls found")
             # max_depth is a crawl-config scalar (the fixture takes it
             # from its seeds.parquet); sitemap seeding overrides it
+            overrides["max_depth"] = args.sitemap_depth
+        elif args.seeds_from_robots:
+            from spider_ray.sources.sitemap import seeds_from_robots
+
+            seed_urls = seeds_from_robots(
+                args.fixture, max_depth=args.sitemap_depth)
+            if not seed_urls:
+                raise SystemExit(
+                    f"--seeds-from-robots: no robots-advertised sitemap "
+                    f"urls found under {args.fixture}")
             overrides["max_depth"] = args.sitemap_depth
         cfg = load_crawl_config(args.fixture, **overrides)
         drv = CrawlDriver(

@@ -392,6 +392,56 @@ def inject_canonical_links(src_dir: str, dst_dir: str,
     return dst_dir
 
 
+def inject_robots_sitemaps(src_dir: str, dst_dir: str,
+                           every: int = 3) -> str:
+    """Derive a sitemap-advertising fixture: every ``every``-th host
+    (robots row order, pinned by generation) gains a ``Sitemap:``
+    directive in its robots body, and the advertised file is written
+    under ``<dst>/sitemaps/<host>.xml`` listing every 4th of that
+    host's pages (url sort order) — the deterministic input for the
+    robots->sitemap seed-discovery pair
+    (sources.seeds_from_robots / seeds_from_robots_seq)."""
+    import shutil
+
+    from spider_ray.sources.sitemap import sitemap_bytes
+
+    os.makedirs(os.path.join(dst_dir, "sitemaps"), exist_ok=True)
+    for name in ("config.json", "seeds.parquet", "pages.parquet",
+                 "pages_v2.parquet"):
+        src = os.path.join(src_dir, name)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(dst_dir, name))
+    by_host: dict = {}
+    for u in pq.read_table(os.path.join(src_dir, "pages.parquet"),
+                           columns=["url"]).column("url").to_pylist():
+        host = u.split("/", 3)[2]
+        by_host.setdefault(host, []).append(u)
+    robots = pq.read_table(os.path.join(src_dir, "robots.parquet"))
+    hosts = robots.column("host").to_pylist()
+    bodies = robots.column("body").to_pylist()
+    for i in range(0, len(hosts), every):
+        h = hosts[i]
+        urls = sorted(by_host.get(h, []))[::4]
+        if not urls:
+            continue
+        bodies[i] = bodies[i] + (
+            f"\nSitemap: https://{h}/sitemap.xml\n".encode()
+        )
+        xml = sitemap_bytes(pa.table({"url": pa.array(urls, pa.string())}))
+        with open(os.path.join(dst_dir, "sitemaps", f"{h}.xml"), "wb") as f:
+            f.write(xml)
+    out = pa.table(
+        {
+            "host": robots.column("host"),
+            "body": pa.array(bodies, robots.schema.field("body").type),
+            "crawl_delay_s": robots.column("crawl_delay_s"),
+        },
+        schema=robots.schema,
+    )
+    pq.write_table(out, os.path.join(dst_dir, "robots.parquet"))
+    return dst_dir
+
+
 _ENTRY_FIXTURE = "/tmp/spider_ray_entry/fixture_micro"
 
 

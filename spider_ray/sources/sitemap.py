@@ -269,3 +269,110 @@ def sitemap_bytes(table: pa.Table, *, index: bool = False,
     parts.append(f"</{root_tag}>\n")
     out = "".join(parts).encode()
     return gzip.compress(out) if gzipped else out
+
+
+# -- robots.txt Sitemap: discovery ------------------------------------------
+
+def _sitemap_local_paths(fixture_dir: str, sitemap_urls) -> list[str]:
+    """Pinned sandbox transport for advertised sitemaps: the sitemap
+    URL's host maps to ``<fixture>/sitemaps/<host>.xml`` (no network
+    in this environment; a live deployment would fetch the URL through
+    the same LiveFetcher seam).  Missing files are skipped — a robots
+    body may advertise a sitemap the archive never captured."""
+    import os
+
+    from spider_ray.core.canon import canonicalize
+    from spider_ray.core.scope import split_host_pq
+
+    paths: list[str] = []
+    seen: set[str] = set()
+    for u in sitemap_urls:
+        cu = canonicalize(u)
+        if cu is None:
+            continue
+        host, _ = split_host_pq(cu)
+        p = os.path.join(fixture_dir, "sitemaps", f"{host}.xml")
+        if p not in seen and os.path.exists(p):
+            seen.add(p)
+            paths.append(p)
+    return sorted(paths)
+
+
+def seeds_from_robots(fixture_dir: str, *, max_depth: int = 0) -> list[str]:
+    """Crawl-seed discovery from robots.txt ``Sitemap:`` directives —
+    the reference-grade bootstrap: robots bodies are parsed for
+    advertised sitemaps, those sitemaps are read, and their urls
+    become the seed list.
+
+    Engine shape: the robots table (one row per domain — 10^8 rows at
+    web scale) parses DISTRIBUTED in map_batches; only the discovered
+    (host, sitemap_url) rows — bounded by how many domains advertise
+    sitemaps — collect to the driver, and the sitemap files then parse
+    one task per file through sources.read_sitemaps.  Seed lists are
+    bounded by contract (they gate a crawl, not stream through it;
+    sitemap_seed_table's rule).  Sequential twin:
+    seeds_from_robots_seq — the differential pair for the discovery
+    path."""
+    import os
+
+    import ray.data
+
+    from spider_ray.core.robots import parse_robots
+
+    robots_path = os.path.join(fixture_dir, "robots.parquet")
+    ds = ray.data.read_parquet(robots_path, columns=["body"])
+
+    def discover(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        for body in t.column("body").to_pylist():
+            urls.extend(parse_robots(bytes(body)).sitemaps)
+        return pa.table({"sitemap_url": pa.array(urls, pa.string())})
+
+    found = [r["sitemap_url"]
+             for r in ds.map_batches(discover,
+                                     batch_format="pyarrow").take_all()]
+    paths = _sitemap_local_paths(fixture_dir, found)
+    if not paths:
+        return []
+    return sitemap_seed_table(
+        read_sitemaps(paths), max_depth=max_depth
+    ).column("url").to_pylist()
+
+
+def seeds_from_robots_seq(fixture_dir: str) -> list[str]:
+    """Sequential no-Ray twin of seeds_from_robots (golden pair):
+    plain loops over robots bodies and sitemap files, the
+    newest-lastmod-first-per-url rule reproduced with a python sort."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from spider_ray.core.robots import parse_robots
+
+    robots = pq.read_table(
+        os.path.join(fixture_dir, "robots.parquet"), columns=["body"])
+    found: list[str] = []
+    for body in robots.column("body").to_pylist():
+        found.extend(parse_robots(bytes(body)).sitemaps)
+    rows: list[tuple[int, str]] = []
+    for p in _sitemap_local_paths(fixture_dir, found):
+        with open(p, "rb") as f:
+            t = parse_sitemap_bytes(f.read())
+        # int64 microsecond view of lastmod_ts — naive-datetime
+        # .timestamp() is TZ-dependent (this module's own lastmod
+        # contract note), the arrow cast is not
+        for kind, url, ts_us in zip(
+            t.column("kind").to_pylist(),
+            t.column("url").to_pylist(),
+            t.column("lastmod_ts").cast(pa.int64()).to_pylist(),
+        ):
+            if kind == "url":
+                rows.append((ts_us or 0, url))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    seen: set[str] = set()
+    out: list[str] = []
+    for _, u in rows:
+        if u not in seen:
+            seen.add(u)
+            out.append(u)
+    return out
