@@ -635,7 +635,25 @@ def connected_components(
     n_msg_rows = sym.count()
     msg_parts = max(1, min(cluster_parts(), n_msg_rows // 4096 + 1))
 
-    prev = labels.sum("label")
+    def _exact_label_sum(ds) -> int:
+        """Exact sum(label) with hash-magnitude int64 labels: a plain
+        Dataset.sum overflows C long in the reduce (webgraph's host
+        ids) and falls back to pickled-object blocks.  Split each
+        label into (hi, lo) 32-bit halves — a == (a>>32 << 32) +
+        (a & 0xffffffff) in two's complement — sum the halves per
+        block (≤ 2^51 at any block size), and recombine the
+        one-row-per-block partials as python ints on the driver."""
+        def part(t: pa.Table) -> pa.Table:
+            a = t.column("label").to_numpy(zero_copy_only=False)
+            hi = (a >> np.int64(32)).sum(dtype=np.int64)
+            lo = (a & np.int64(0xFFFFFFFF)).sum(dtype=np.int64)
+            return pa.table({"hi": pa.array([int(hi)], pa.int64()),
+                             "lo": pa.array([int(lo)], pa.int64())})
+
+        parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+        return sum((int(r["hi"]) << 32) + int(r["lo"]) for r in parts)
+
+    prev = _exact_label_sum(labels)
     for _ in range(max_iters):
         # label of each edge's 'node' endpoint, sent to its neighbor
         j = partitioned_hash_join(sym, labels, on="node")
@@ -660,7 +678,7 @@ def connected_components(
             )
             .materialize()
         )
-        cur = new.sum("label")
+        cur = _exact_label_sum(new)
         labels = new
         if cur == prev:
             break
