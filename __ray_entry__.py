@@ -433,7 +433,8 @@ _GATE_HEADS: list[str] = [
     # graph / freq
     "pagerank_order_part", "bfs_hops_order_part", "host_link_graph",
     "host_pagerank", "anchor_texts", "canonical_clusters",
-    "url_templates", "host_components", "heavy_hitters_terms",
+    "url_templates", "host_components", "hreflang_variants",
+    "heavy_hitters_terms",
     "text_index_search",
     # multimodal plumbing
     "decode_media_fake", "frame_sample_media",

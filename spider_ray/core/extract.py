@@ -765,6 +765,47 @@ class _CanonicalParser(HTMLParser):
     handle_startendtag = handle_starttag
 
 
+class _HreflangParser(HTMLParser):
+    """All <link rel~=alternate hreflang=... href=...> rows, document
+    order, duplicates kept (same stdlib-parser tier as the canonical
+    kernel — not on the crawl hot path)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.alts: list[tuple[str, str]] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag != "link":
+            return
+        rel = href = hreflang = None
+        for k, v in attrs:
+            if k == "rel" and rel is None:
+                rel = v
+            elif k == "href" and href is None:
+                href = v
+            elif k == "hreflang" and hreflang is None:
+                hreflang = v
+        if (rel is not None and href is not None and hreflang
+                and "alternate" in rel.lower().split()):
+            self.alts.append((hreflang, href))
+
+    handle_startendtag = handle_starttag
+
+
+def extract_hreflang(html: bytes | str) -> list[tuple[str, str]]:
+    """[(hreflang, raw href)] of the document's rel=alternate hreflang
+    links — the cross-language variant declarations (A.9 family)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _HreflangParser()
+    try:
+        p.feed(html)
+        p.close()
+    except (AssertionError, NotImplementedError):
+        pass  # stdlib raises on unknown marked sections; keep prefix
+    return p.alts
+
+
 def extract_canonical(html: bytes | str) -> str | None:
     """Raw href of the document's first rel=canonical <link>, else
     None.  Shared by the engine pipeline and the sequential golden

@@ -392,6 +392,48 @@ def inject_canonical_links(src_dir: str, dst_dir: str,
     return dst_dir
 
 
+def inject_hreflang_links(src_dir: str, dst_dir: str,
+                          every: int = 6) -> str:
+    """Derive an hreflang-annotated fixture: rows k, k+1, k+2 for
+    every ``every``-th k form a language-variant group — each member
+    declares the full self-referencing alternate set
+    (<link rel="alternate" hreflang=en|de|fr href=...>) per the
+    hreflang spec's recommendation.  Deterministic; input for the
+    hreflang_variants pair (webgraph + goldens)."""
+    import shutil
+
+    _LANGS3 = ("en", "de", "fr")
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in ("config.json", "robots.parquet", "seeds.parquet"):
+        shutil.copy(os.path.join(src_dir, name), os.path.join(dst_dir, name))
+    pages = pq.read_table(os.path.join(src_dir, "pages.parquet"))
+    urls = pages.column("url").to_pylist()
+    htmls = pages.column("html").to_pylist()
+    texts = pages.column("text").to_pylist()
+    for k in range(0, len(urls) - 2, every):
+        group = [k, k + 1, k + 2]
+        tags = "".join(
+            f'<link rel="alternate" hreflang="{_LANGS3[j]}" '
+            f'href="{urls[m]}">'
+            for j, m in enumerate(group)
+        ).encode()
+        for m in group:
+            htmls[m] = htmls[m].replace(b"<head>", b"<head>" + tags, 1)
+            texts[m] = extract_text(htmls[m])
+    out = pa.table(
+        {
+            "url": pages.column("url"),
+            "warc_ts": pages.column("warc_ts"),
+            "html": pa.array(htmls, pages.schema.field("html").type),
+            "text": pa.array(texts, pages.schema.field("text").type),
+            "lang": pages.column("lang"),
+        },
+        schema=pages.schema,
+    )
+    pq.write_table(out, os.path.join(dst_dir, "pages.parquet"))
+    return dst_dir
+
+
 def inject_robots_sitemaps(src_dir: str, dst_dir: str,
                            every: int = 3) -> str:
     """Derive a sitemap-advertising fixture: every ``every``-th host

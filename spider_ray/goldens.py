@@ -790,6 +790,41 @@ def host_components_golden() -> pa.Table:
     })
 
 
+def hreflang_variants_golden() -> pa.Table:
+    """(url, hreflang, alt_url) over the hreflang-annotated micro
+    fixture — sequential loop (engine twin:
+    webgraph.hreflang_variants)."""
+    import shutil
+    import tempfile
+
+    from spider_ray.core.canon import canonicalize
+    from spider_ray.core.extract import extract_hreflang
+    from spider_ray.fixtures.gen import generate, inject_hreflang_links
+
+    tmp = tempfile.mkdtemp(prefix="spider_ray_goldens_")
+    try:
+        generate("micro", os.path.join(tmp, "base"))
+        fix = inject_hreflang_links(os.path.join(tmp, "base"),
+                                    os.path.join(tmp, "hreflang"))
+        t = pq.read_table(os.path.join(fix, "pages.parquet"),
+                          columns=["url", "html"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = []
+    for url, html in zip(t.column("url").to_pylist(),
+                         t.column("html").to_pylist()):
+        for hl, href in extract_hreflang(html):
+            alt = canonicalize(href, base=url)
+            if alt is not None:
+                rows.append((url, hl, alt))
+    rows.sort()
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "hreflang": pa.array([r[1] for r in rows], pa.string()),
+        "alt_url": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
 GOLDENS = {
     "fingerprint_documents": fingerprint_golden,
     "chunk_documents_bpe": chunk_bpe_golden,
@@ -812,6 +847,7 @@ GOLDENS = {
     "canonical_clusters": canonical_clusters_golden,
     "url_list": url_list_golden,
     "host_components": host_components_golden,
+    "hreflang_variants": hreflang_variants_golden,
 }
 
 

@@ -410,6 +410,52 @@ def host_components(sf_dir: str):
     ).sort("host")
 
 
+def hreflang_variants(sf_dir: str):
+    """Cross-language variant mapping — the hreflang declarations a
+    multilingual site publishes: one row per (url, hreflang, alt_url)
+    alternate edge over the hreflang-annotated derived fixture.  The
+    variant GROUP is recoverable as the connected component of these
+    edges; the flat mapping is the operator (hash-stable, oracle-
+    friendly), the grouping composes with host_components' machinery.
+
+    Engine: per-document extract_hreflang kernel in map_batches ->
+    canonicalize against the page url -> one sort.  Golden twin:
+    sequential loop, same kernel (goldens.hreflang_variants_golden)."""
+    from spider_ray.core.extract import extract_hreflang
+    from spider_ray.fixtures.gen import (ensure_derived_fixture,
+                                         inject_hreflang_links)
+
+    base = _ensure_micro_fixture()
+    fixture = ensure_derived_fixture(
+        base, "/tmp/spider_ray_entry/fixture_hreflang",
+        inject_hreflang_links)
+    pages = ray.data.read_parquet(
+        os.path.join(fixture, "pages.parquet"), columns=["url", "html"]
+    )
+
+    def rows(t: pa.Table) -> pa.Table:
+        us: list[str] = []
+        ls: list[str] = []
+        alts: list[str] = []
+        for url, html in zip(t.column("url").to_pylist(),
+                             t.column("html").to_pylist()):
+            for hl, href in extract_hreflang(html):
+                alt = canonicalize(href, base=url)
+                if alt is None:
+                    continue
+                us.append(url)
+                ls.append(hl)
+                alts.append(alt)
+        return pa.table({
+            "url": pa.array(us, pa.string()),
+            "hreflang": pa.array(ls, pa.string()),
+            "alt_url": pa.array(alts, pa.string()),
+        })
+
+    return pages.map_batches(rows, batch_format="pyarrow")\
+                .sort(["url", "hreflang", "alt_url"])
+
+
 WEBGRAPH_QUERIES = {
     "host_link_graph": host_link_graph,
     "host_pagerank": host_pagerank,
@@ -417,6 +463,7 @@ WEBGRAPH_QUERIES = {
     "canonical_clusters": canonical_clusters,
     "url_templates": url_templates,
     "host_components": host_components,
+    "hreflang_variants": hreflang_variants,
 }
 
 WEBGRAPH_ORACLE_SQL = {
@@ -438,4 +485,6 @@ WEBGRAPH_ORACLE_SQL = {
     ),
     "host_components": golden_sql("host_components",
                                   "host, component_host"),
+    "hreflang_variants": golden_sql("hreflang_variants",
+                                    "url, hreflang, alt_url"),
 }

@@ -270,6 +270,28 @@ def test_extract_canonical_pinned():
         assert extract_canonical(html) == want, repr(html)
 
 
+def test_extract_hreflang_pinned():
+    from spider_ray.core.extract import extract_hreflang
+
+    cases = [
+        ('<link rel="alternate" hreflang="en" href="/en">'
+         '<link rel="alternate" hreflang="de" href="/de">',
+         [("en", "/en"), ("de", "/de")]),
+        ('<link hreflang="fr" rel="alternate" href="/fr">',
+         [("fr", "/fr")]),                                   # attr order
+        ('<link rel="ALTERNATE stylesheet" hreflang="x" href="/x">',
+         [("x", "/x")]),                                     # token + case
+        ('<link rel="alternates" hreflang="x" href="/x">', []),  # not token
+        ('<link rel="alternate" href="/no-lang">', []),      # no hreflang
+        ('<link rel="alternate" hreflang="en">', []),        # no href
+        ('<link rel="alternate" hreflang="en" href="/a"/>',
+         [("en", "/a")]),                                    # self-closing
+        ("<p>nothing</p>", []),
+    ]
+    for html, want in cases:
+        assert extract_hreflang(html) == want, repr(html)
+
+
 def test_adversarial_inputs_terminate_fast():
     """Crawl html is remote-controlled: unterminated tags with
     ambiguous attr splits must not make the scanner backtrack

@@ -23,6 +23,7 @@ _GOLDEN_PAIRED = [
     "anchor_texts",
     "canonical_clusters",
     "host_components",
+    "hreflang_variants",
 ]
 
 
