@@ -19,7 +19,6 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-_ENTRY_FIXTURE = "/tmp/spider_ray_entry/fixture_micro"
 _ENTRY_CKPT = "/tmp/spider_ray_entry/ckpt"
 
 _worker_import_checked = False
@@ -57,11 +56,26 @@ def _ensure_worker_importable() -> None:
     _worker_import_checked = True
 
 
-def _ensure_micro_fixture(path: str = _ENTRY_FIXTURE) -> str:
-    # single shared cache-validity rule (fixtures.gen owns it)
+def _ensure_micro_fixture() -> str:
+    # fixtures.gen owns BOTH the cache path and the validity rule —
+    # no local copy of either to drift
     from spider_ray.fixtures.gen import ensure_micro_fixture
 
-    return ensure_micro_fixture(path)
+    return ensure_micro_fixture()
+
+
+def _ckpt_stale(done: str, *inputs: str) -> bool:
+    """A cached crawl checkpoint is stale when its completion sentinel
+    is missing or older than any input artifact (regenerated base
+    fixture, re-derived corpus) — the fixture-freshness rule extended
+    to the checkpoints that consume those fixtures (a fresh fixture
+    with a surviving checkpoint sentinel would otherwise serve rows
+    computed from the OLD corpus against goldens from the new one)."""
+    if not os.path.exists(done):
+        return True
+    dm = os.path.getmtime(done)
+    return any(os.path.exists(p) and os.path.getmtime(p) > dm
+               for p in inputs)
 
 
 def entry() -> Any:
@@ -102,7 +116,9 @@ def _ensure_flagship_crawl() -> str:
 
     fixture = _ensure_micro_fixture()
     done = os.path.join(_SHARED_CKPT, "_flagship_done")
-    if not os.path.exists(done):
+    # a stale flagship rmtree also clears _revisit_done, so the
+    # revisit pass re-runs transitively
+    if _ckpt_stale(done, os.path.join(fixture, "pages.parquet")):
         shutil.rmtree(_SHARED_CKPT, ignore_errors=True)
         from spider_ray.crawl.driver import CrawlDriver
 
@@ -178,7 +194,8 @@ def _crawl_continuous(sf_dir: str) -> Any:
     fixture = _ensure_micro_fixture()
     ckpt = "/tmp/spider_ray_entry/ckpt_continuous"
     done = os.path.join(ckpt, "_continuous_done")
-    if not os.path.exists(done):
+    if _ckpt_stale(done, os.path.join(fixture, "pages.parquet"),
+                   os.path.join(fixture, "pages_v2.parquet")):
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -230,7 +247,7 @@ def _crawl_archive(sf_dir: str) -> Any:
     fixture = _ensure_micro_fixture()
     ckpt = "/tmp/spider_ray_entry/ckpt_archive"
     done = os.path.join(ckpt, "_archive_done")
-    if not os.path.exists(done):
+    if _ckpt_stale(done, os.path.join(fixture, "pages.parquet")):
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -277,7 +294,7 @@ def _crawl_trap_guard(sf_dir: str) -> Any:
         base, "/tmp/spider_ray_entry/fixture_traps", inject_trap_links)
     ckpt = "/tmp/spider_ray_entry/ckpt_traps"
     done = os.path.join(ckpt, "_traps_done")
-    if not os.path.exists(done):
+    if _ckpt_stale(done, os.path.join(fixture, "_derived")):
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)

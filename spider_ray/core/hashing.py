@@ -27,6 +27,14 @@ def url_hash64(url: str) -> int:
     return url_hash_fp(url)[0]
 
 
+def url_hash64_signed(s: str) -> int:
+    """Signed-int64 view of the A.2 hash — the shared node-id space of
+    the host connected-components pair (engine AND golden import THIS
+    so the min-label representative rule cannot drift between them)."""
+    h = url_hash64(s)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def hash_url_batch(urls) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized-ish batch form: two numpy arrays (uint64 h64, uint32 fp).
 

@@ -127,8 +127,7 @@ def main() -> None:
         elif args.seeds_from_robots:
             from spider_ray.sources.sitemap import seeds_from_robots
 
-            seed_urls = seeds_from_robots(
-                args.fixture, max_depth=args.sitemap_depth)
+            seed_urls = seeds_from_robots(args.fixture)
             if not seed_urls:
                 raise SystemExit(
                     f"--seeds-from-robots: no robots-advertised sitemap "

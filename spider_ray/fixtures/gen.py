@@ -313,32 +313,24 @@ TRAP_PATH = "/t/t/t/t/x"
 TRAP_QUERY = "/p/1?" + "&".join(f"f{i}=v" for i in range(10))
 
 
-def inject_trap_links(src_dir: str, dst_dir: str, every: int = 7) -> str:
-    """Derive a trap-injected fixture: copy ``src_dir`` with trap hrefs
-    appended to every ``every``-th page's html (text recomputed with
-    the shared extraction kernel so the byte-identity invariant holds
-    by construction).  Deterministic — shared by the golden generator
-    (goldens.crawl_trap_guard_golden), the harness query
-    (__ray_entry__._crawl_trap_guard) and tests/test_crawl_traps.py."""
+def _derive_pages(src_dir: str, dst_dir: str, mutate) -> str:
+    """Shared scaffold of the pages-mutating fixture derivations
+    (trap/canonical/hreflang injection): copy the sidecars, let
+    ``mutate(urls, htmls, texts)`` edit the row lists in place
+    (callers recompute ``texts`` with the shared extraction kernel so
+    the byte-identity invariant holds by construction), rebuild the
+    table on the source schema.  One scaffold — a pages schema change
+    is one edit, not three."""
     import shutil
 
     os.makedirs(dst_dir, exist_ok=True)
     for name in ("config.json", "robots.parquet", "seeds.parquet"):
         shutil.copy(os.path.join(src_dir, name), os.path.join(dst_dir, name))
     pages = pq.read_table(os.path.join(src_dir, "pages.parquet"))
+    urls = pages.column("url").to_pylist()
     htmls = pages.column("html").to_pylist()
     texts = pages.column("text").to_pylist()
-    inject = (
-        f'<a href="{TRAP_PATH}">loop</a>'
-        f'<a href="{TRAP_QUERY}">facets</a>'
-    ).encode()
-    for i in range(0, len(htmls), every):
-        h = htmls[i]
-        j = h.rfind(b"</body>")
-        if j == -1:
-            continue
-        htmls[i] = h[:j] + inject + h[j:]
-        texts[i] = extract_text(htmls[i])
+    mutate(urls, htmls, texts)
     out = pa.table(
         {
             "url": pages.column("url"),
@@ -351,6 +343,28 @@ def inject_trap_links(src_dir: str, dst_dir: str, every: int = 7) -> str:
     )
     pq.write_table(out, os.path.join(dst_dir, "pages.parquet"))
     return dst_dir
+
+
+def inject_trap_links(src_dir: str, dst_dir: str, every: int = 7) -> str:
+    """Derive a trap-injected fixture: trap hrefs appended to every
+    ``every``-th page's html.  Deterministic — shared by the golden
+    generator (goldens.crawl_trap_guard_golden), the harness query
+    (__ray_entry__._crawl_trap_guard) and tests/test_crawl_traps.py."""
+    inject = (
+        f'<a href="{TRAP_PATH}">loop</a>'
+        f'<a href="{TRAP_QUERY}">facets</a>'
+    ).encode()
+
+    def mutate(urls, htmls, texts):
+        for i in range(0, len(htmls), every):
+            h = htmls[i]
+            j = h.rfind(b"</body>")
+            if j == -1:
+                continue
+            htmls[i] = h[:j] + inject + h[j:]
+            texts[i] = extract_text(htmls[i])
+
+    return _derive_pages(src_dir, dst_dir, mutate)
 
 
 def inject_canonical_links(src_dir: str, dst_dir: str,
@@ -361,35 +375,15 @@ def inject_canonical_links(src_dir: str, dst_dir: str,
     row ``k - (k % (3*every))`` — rows at multiples of ``3*every``
     therefore self-canonicalize.  Deterministic; shared by the golden
     generator (goldens.canonical_clusters_golden), the harness query
-    and the webgraph tests.  Text is recomputed with the shared
-    kernel (a <link> emits no text, so it is byte-unchanged — the
-    recompute keeps the invariant by construction, not by argument)."""
-    import shutil
+    and the webgraph tests."""
+    def mutate(urls, htmls, texts):
+        for k in range(0, len(htmls), every):
+            target = urls[k - (k % (3 * every))]
+            tag = f'<link rel="canonical" href="{target}">'.encode()
+            htmls[k] = htmls[k].replace(b"<head>", b"<head>" + tag, 1)
+            texts[k] = extract_text(htmls[k])
 
-    os.makedirs(dst_dir, exist_ok=True)
-    for name in ("config.json", "robots.parquet", "seeds.parquet"):
-        shutil.copy(os.path.join(src_dir, name), os.path.join(dst_dir, name))
-    pages = pq.read_table(os.path.join(src_dir, "pages.parquet"))
-    urls = pages.column("url").to_pylist()
-    htmls = pages.column("html").to_pylist()
-    texts = pages.column("text").to_pylist()
-    for k in range(0, len(htmls), every):
-        target = urls[k - (k % (3 * every))]
-        tag = f'<link rel="canonical" href="{target}">'.encode()
-        htmls[k] = htmls[k].replace(b"<head>", b"<head>" + tag, 1)
-        texts[k] = extract_text(htmls[k])
-    out = pa.table(
-        {
-            "url": pages.column("url"),
-            "warc_ts": pages.column("warc_ts"),
-            "html": pa.array(htmls, pages.schema.field("html").type),
-            "text": pa.array(texts, pages.schema.field("text").type),
-            "lang": pages.column("lang"),
-        },
-        schema=pages.schema,
-    )
-    pq.write_table(out, os.path.join(dst_dir, "pages.parquet"))
-    return dst_dir
+    return _derive_pages(src_dir, dst_dir, mutate)
 
 
 def inject_hreflang_links(src_dir: str, dst_dir: str,
@@ -400,38 +394,21 @@ def inject_hreflang_links(src_dir: str, dst_dir: str,
     (<link rel="alternate" hreflang=en|de|fr href=...>) per the
     hreflang spec's recommendation.  Deterministic; input for the
     hreflang_variants pair (webgraph + goldens)."""
-    import shutil
-
     _LANGS3 = ("en", "de", "fr")
-    os.makedirs(dst_dir, exist_ok=True)
-    for name in ("config.json", "robots.parquet", "seeds.parquet"):
-        shutil.copy(os.path.join(src_dir, name), os.path.join(dst_dir, name))
-    pages = pq.read_table(os.path.join(src_dir, "pages.parquet"))
-    urls = pages.column("url").to_pylist()
-    htmls = pages.column("html").to_pylist()
-    texts = pages.column("text").to_pylist()
-    for k in range(0, len(urls) - 2, every):
-        group = [k, k + 1, k + 2]
-        tags = "".join(
-            f'<link rel="alternate" hreflang="{_LANGS3[j]}" '
-            f'href="{urls[m]}">'
-            for j, m in enumerate(group)
-        ).encode()
-        for m in group:
-            htmls[m] = htmls[m].replace(b"<head>", b"<head>" + tags, 1)
-            texts[m] = extract_text(htmls[m])
-    out = pa.table(
-        {
-            "url": pages.column("url"),
-            "warc_ts": pages.column("warc_ts"),
-            "html": pa.array(htmls, pages.schema.field("html").type),
-            "text": pa.array(texts, pages.schema.field("text").type),
-            "lang": pages.column("lang"),
-        },
-        schema=pages.schema,
-    )
-    pq.write_table(out, os.path.join(dst_dir, "pages.parquet"))
-    return dst_dir
+
+    def mutate(urls, htmls, texts):
+        for k in range(0, len(urls) - 2, every):
+            group = [k, k + 1, k + 2]
+            tags = "".join(
+                f'<link rel="alternate" hreflang="{_LANGS3[j]}" '
+                f'href="{urls[m]}">'
+                for j, m in enumerate(group)
+            ).encode()
+            for m in group:
+                htmls[m] = htmls[m].replace(b"<head>", b"<head>" + tags, 1)
+                texts[m] = extract_text(htmls[m])
+
+    return _derive_pages(src_dir, dst_dir, mutate)
 
 
 def inject_robots_sitemaps(src_dir: str, dst_dir: str,

@@ -750,11 +750,7 @@ def host_components_golden() -> pa.Table:
     representative = member with minimal signed-int64 A.2 hash (engine
     twin: webgraph.host_components, distributed min-label
     propagation over the same id space)."""
-    from spider_ray.core.hashing import url_hash64
-
-    def id64(host: str) -> int:
-        h = url_hash64(host)
-        return h - (1 << 64) if h >= (1 << 63) else h
+    from spider_ray.core.hashing import url_hash64_signed as id64
 
     edges = sorted(_host_edges_reference())
     parent: dict = {}

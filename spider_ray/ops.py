@@ -641,8 +641,10 @@ def connected_components(
         ids) and falls back to pickled-object blocks.  Split each
         label into (hi, lo) 32-bit halves — a == (a>>32 << 32) +
         (a & 0xffffffff) in two's complement — sum the halves per
-        block (≤ 2^51 at any block size), and recombine the
-        one-row-per-block partials as python ints on the driver."""
+        block (exact for blocks under 2^31 rows: n·2^32 ≤ int64; ray's
+        byte-capped blocks sit orders of magnitude below that), and
+        recombine the one-row-per-block partials as python ints on the
+        driver."""
         def part(t: pa.Table) -> pa.Table:
             a = t.column("label").to_numpy(zero_copy_only=False)
             hi = (a >> np.int64(32)).sum(dtype=np.int64)

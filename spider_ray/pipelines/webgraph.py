@@ -334,16 +334,15 @@ def url_templates(sf_dir: str):
 
 
 def _host_id64(host: str) -> int:
-    """Signed-int64 view of the A.2 sha1-based 64-bit hash — the node
-    id space for host connected components (CC propagates min labels
-    over int64; signed view keeps engine and golden min()s identical).
+    """Node id space for host connected components (CC propagates min
+    labels over int64; the shared signed view keeps engine and golden
+    min()s identical by construction — core.hashing owns it).
     Collisions (~n²/2⁶⁴) would merge two hosts; at 10⁸ hosts that is
     ~10⁻³ expected collisions — documented, and the same id space the
     seen-set already relies on."""
-    from spider_ray.core.hashing import url_hash64
+    from spider_ray.core.hashing import url_hash64_signed
 
-    h = url_hash64(host)
-    return h - (1 << 64) if h >= (1 << 63) else h
+    return url_hash64_signed(host)
 
 
 def host_components(sf_dir: str):

@@ -298,7 +298,7 @@ def _sitemap_local_paths(fixture_dir: str, sitemap_urls) -> list[str]:
     return sorted(paths)
 
 
-def seeds_from_robots(fixture_dir: str, *, max_depth: int = 0) -> list[str]:
+def seeds_from_robots(fixture_dir: str) -> list[str]:
     """Crawl-seed discovery from robots.txt ``Sitemap:`` directives —
     the reference-grade bootstrap: robots bodies are parsed for
     advertised sitemaps, those sitemaps are read, and their urls
@@ -334,8 +334,10 @@ def seeds_from_robots(fixture_dir: str, *, max_depth: int = 0) -> list[str]:
     paths = _sitemap_local_paths(fixture_dir, found)
     if not paths:
         return []
+    # depth is a crawl-config scalar, applied by the caller (the CLI's
+    # max_depth override) — the seed-table column is not consumed here
     return sitemap_seed_table(
-        read_sitemaps(paths), max_depth=max_depth
+        read_sitemaps(paths)
     ).column("url").to_pylist()
 
 
