@@ -378,3 +378,82 @@ def seeds_from_robots_seq(fixture_dir: str) -> list[str]:
             seen.add(u)
             out.append(u)
     return out
+
+
+def sitemaps_from_crawl(ckpt_dir: str, out_dir: str) -> pa.Table:
+    """Publish-direction sitemap export: every url the crawl extracted
+    (the checkpoint's ``round=*/out`` tables) becomes one
+    sitemaps.org urlset per host under ``out_dir/<host>.xml``, plus a
+    ``sitemap_index.xml`` advertising them — the write half that
+    round-trips through read_sitemaps / the robots seed-discovery
+    convention (a re-crawl seeded from the export visits exactly the
+    published set).
+
+    Scale shape: pruned single-column url read -> host projection ->
+    ONE host range-partition; equal hosts never split across blocks
+    (the ops-layer sort contract), so each block writes its hosts'
+    files independently — a partitioned file sink, no driver-side url
+    list.  Returns the (host, path, n_urls) manifest (one row per
+    host; the bounded index input).  Urls are de-duplicated and
+    sorted per host, so the export is byte-deterministic for a given
+    crawl."""
+    import glob
+    import os
+
+    import ray.data
+
+    files = sorted(glob.glob(
+        os.path.join(ckpt_dir, "round=*", "out", "*.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"no extracted outputs under {ckpt_dir}/round=*/out")
+    os.makedirs(out_dir, exist_ok=True)
+    ds = ray.data.read_parquet(files, columns=["url"])
+
+    def host_col(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        return pa.table({
+            "host": pa.array([u.split("/", 3)[2] for u in urls],
+                             pa.string()),
+            "url": pa.array(urls, pa.string()),
+        })
+
+    def write_block(t: pa.Table) -> pa.Table:
+        by: dict[str, list[str]] = {}
+        for h, u in zip(t.column("host").to_pylist(),
+                        t.column("url").to_pylist()):
+            by.setdefault(h, []).append(u)
+        hosts, paths, counts = [], [], []
+        for h in sorted(by):
+            urls = sorted(set(by[h]))
+            xml = sitemap_bytes(
+                pa.table({"url": pa.array(urls, pa.string())}))
+            p = os.path.join(out_dir, f"{h}.xml")
+            with open(p, "wb") as f:
+                f.write(xml)
+            hosts.append(h)
+            paths.append(p)
+            counts.append(len(urls))
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "n_urls": pa.array(counts, pa.int64()),
+        })
+
+    manifest = pa.Table.from_pylist(
+        ds.map_batches(host_col, batch_format="pyarrow")
+        .sort("host")
+        .map_batches(write_block, batch_size=None, batch_format="pyarrow")
+        .take_all(),
+        schema=pa.schema([("host", pa.string()), ("path", pa.string()),
+                          ("n_urls", pa.int64())]),
+    ).sort_by("host")
+    idx = sitemap_bytes(
+        pa.table({"url": pa.array(
+            [f"https://{h}/sitemap.xml"
+             for h in manifest.column("host").to_pylist()], pa.string())}),
+        index=True,
+    )
+    with open(os.path.join(out_dir, "sitemap_index.xml"), "wb") as f:
+        f.write(idx)
+    return manifest
